@@ -1,0 +1,282 @@
+"""Handle lifecycle + method dispatch — the framework core.
+
+TPU re-design of the reference's L3/L4 (``src/src_spmv/common.c``,
+``include/spmv.h``): ``spmv_create_handle_all_in_one`` runs the *inspector*
+(format conversion + partition planning, all host-side numpy), places the
+resulting static-shape arrays on device, and binds a jitted executable;
+``spmv`` is then a pure device call, any number of times — the same
+inspect-once/execute-many contract as the reference (include/spmv.h:41-71).
+
+Method → execution-plan mapping (each is a genuinely distinct program, not a
+renamed copy — see SURVEY.md §2.3):
+
+=================  ==========================================================
+Method_Serial      gather + sorted segment-sum (the naive jnp program)
+Method_Parallel    ELL row-slices in natural order (sell machinery, σ=1)
+Method_Balanced    two-level equal-nnz tile scan + carry scan
+Method_Balanced2   equal-nnz tile scan, tile sized for mega-row splitting
+Method_BalancedYid single global prefix scan (exact-nnz split, zero fix-ups)
+Method_SellCSigma  σ-sorted, depth-bucketed SELL slices, C=128 lanes
+Method_Csr5Spmv    tiled AoSoA segmented sum (MXU one-hot partials)
+Method_Auto        inspector picks one of the above from matrix features
+=================  ==========================================================
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .types import CsrMatrix, Method, VectorizedWay, METHOD_NAMES, INT_DTYPE
+from .formats import partition, sell as sell_fmt
+from .ops import xla_csr
+
+__all__ = [
+    "SpmvHandle",
+    "create_handle",
+    "spmv",
+    "spmv_create_handle_all_in_one",
+    "spmv_clear_handle",
+    "spmv_destory_handle",
+    "spmv_destroy_handle",
+]
+
+
+def _ensure_x64_if_needed(dtype) -> None:
+    if np.dtype(dtype) == np.float64 and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _acc_dtype(dtype) -> Any:
+    """Accumulation dtype: bf16 storage accumulates in f32 (MXU-style)."""
+    if dtype == jnp.bfloat16:
+        return jnp.float32
+    return dtype
+
+
+# --------------------------------------------------------------------------
+# Jitted executables (module-level so the XLA compile cache is shared across
+# handles with identical shapes — the reference re-preps per handle instead).
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _exec_serial(rows, colidx, vals, x, m):
+    acc = _acc_dtype(vals.dtype)
+    return xla_csr.segment_sum_spmv(rows, colidx, vals.astype(acc),
+                                    x.astype(acc), m=m)
+
+
+@jax.jit
+def _exec_scan_global(colidx_pad, vals_pad, row_start, row_end, x):
+    acc = _acc_dtype(vals_pad.dtype)
+    return xla_csr.scan_spmv_global(colidx_pad, vals_pad.astype(acc),
+                                    row_start, row_end, x.astype(acc))
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _exec_scan_tiled(colidx_pad, vals_pad, row_start, row_end, x, tile):
+    acc = _acc_dtype(vals_pad.dtype)
+    return xla_csr.scan_spmv_tiled(colidx_pad, vals_pad.astype(acc),
+                                   row_start, row_end, x.astype(acc),
+                                   tile=tile)
+
+
+@functools.partial(jax.jit, static_argnames=("identity_order",))
+def _exec_sell(bucket_cols, bucket_vals, inv_pos, x, identity_order):
+    acc = _acc_dtype(bucket_vals[0].dtype)
+    vals = tuple(v.astype(acc) for v in bucket_vals)
+    return xla_csr.sell_spmv(bucket_cols, vals, inv_pos, x.astype(acc),
+                             identity_order=identity_order)
+
+
+# --------------------------------------------------------------------------
+# Handle
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SpmvHandle:
+    """Inspect-once/execute-many handle (reference ``spmv_Handle``,
+    spmv_Defines.h:44-68)."""
+
+    method: Method               # resolved (AUTO → concrete)
+    requested_method: Method
+    dtype: np.dtype
+    m: int
+    n: int
+    nnz: int
+    nthreads: int                # parity knob; informs tile-count choices
+    vectorized: VectorizedWay
+    mtx_token: Optional[str]
+    plan: Dict[str, Any]         # device arrays + static config
+    stats: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    _cleared: bool = False
+
+    def __call__(self, x) -> jax.Array:
+        return spmv(self, x)
+
+    def block_until_ready(self, y):
+        return jax.block_until_ready(y)
+
+    @property
+    def method_name(self) -> str:
+        return METHOD_NAMES[self.method]
+
+    def clear(self) -> None:
+        """Drop device buffers (reference spmv_clear_handle, common.c:31-41)."""
+        self.plan = {}
+        self._cleared = True
+
+
+# --------------------------------------------------------------------------
+# Plan builders (host-side inspection — reference *_get_handle functions)
+# --------------------------------------------------------------------------
+
+def _tile_for(nnz: int, nthreads: int, method: Method) -> int:
+    """Pick the equal-nnz tile length.
+
+    Mirrors the *intent* of the reference's per-thread quantile stride
+    ceil(nnz/T) (parallel_balanced_spmv.c:41): enough tiles to saturate the
+    machine, tiles long enough to amortize the carry pass.  Balanced2 uses
+    shorter tiles so mega-rows split across more tiles.
+    """
+    base = 4096 if method == Method.BALANCED else 1024
+    # keep at least ~64 tiles when the matrix allows it
+    while base > 256 and nnz // base < 64:
+        base //= 2
+    return base
+
+
+def _build_plan(a: CsrMatrix, method: Method, nthreads: int) -> Dict[str, Any]:
+    dev = jax.device_put
+    if method == Method.SERIAL:
+        return {
+            "rows": dev(partition.row_ids(a)),
+            "colidx": dev(a.colidx),
+            "vals": dev(a.vals),
+        }
+    if method in (Method.BALANCED, Method.BALANCED2, Method.BALANCED_YID,
+                  Method.CSR5):
+        tile = _tile_for(a.nnz, nthreads, method)
+        p = partition.build_tile_scan_plan(a, tile=tile)
+        return {
+            "tile": p.tile,
+            "colidx_pad": dev(p.colidx_pad),
+            "vals_pad": dev(p.vals_pad),
+            "row_start": dev(p.row_start),
+            "row_end": dev(p.row_end),
+        }
+    if method in (Method.PARALLEL, Method.SELL_C_SIGMA):
+        sigma = 1 if method == Method.PARALLEL else 16 * sell_fmt.LANES
+        s = sell_fmt.pack_sell(a, sigma=sigma)
+        return {
+            "bucket_cols": tuple(dev(b.cols) for b in s.buckets),
+            "bucket_vals": tuple(dev(b.vals) for b in s.buckets),
+            "inv_pos": dev(s.inv_pos),
+            "identity_order": s.identity_order,
+            "padded_nnz": s.padded_nnz,
+        }
+    raise ValueError(f"no plan builder for {method}")
+
+
+def _dispatch(handle: SpmvHandle, x: jax.Array) -> jax.Array:
+    p = handle.plan
+    m = handle.method
+    if m == Method.SERIAL:
+        return _exec_serial(p["rows"], p["colidx"], p["vals"], x, handle.m)
+    if m == Method.BALANCED_YID:
+        return _exec_scan_global(p["colidx_pad"], p["vals_pad"],
+                                 p["row_start"], p["row_end"], x)
+    if m in (Method.BALANCED, Method.BALANCED2, Method.CSR5):
+        return _exec_scan_tiled(p["colidx_pad"], p["vals_pad"],
+                                p["row_start"], p["row_end"], x, p["tile"])
+    if m in (Method.PARALLEL, Method.SELL_C_SIGMA):
+        return _exec_sell(p["bucket_cols"], p["bucket_vals"], p["inv_pos"],
+                          x, p["identity_order"])
+    raise ValueError(f"unknown method {m}")
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+def create_handle(a: CsrMatrix,
+                  method: Method = Method.AUTO,
+                  nthreads: int = 0,
+                  vectorized: VectorizedWay = VectorizedWay.VPU,
+                  mtx_token: Optional[str] = None,
+                  warm: bool = False) -> SpmvHandle:
+    """Inspect the matrix, build the plan, place it on device.
+
+    The pythonic form of the reference's 11-argument
+    ``spmv_create_handle_all_in_one`` (include/spmv.h:41-52).
+    """
+    _ensure_x64_if_needed(a.dtype)
+    requested = Method(method)
+    resolved = requested
+    if requested == Method.AUTO:
+        from .inspector import choose_method
+        resolved = choose_method(a)
+    plan = _build_plan(a, resolved, nthreads)
+    h = SpmvHandle(
+        method=resolved, requested_method=requested,
+        dtype=np.dtype(a.dtype) if a.dtype != jnp.bfloat16 else a.dtype,
+        m=a.m, n=a.n, nnz=a.nnz, nthreads=nthreads,
+        vectorized=VectorizedWay(vectorized), mtx_token=mtx_token, plan=plan,
+    )
+    if warm:
+        x = jnp.zeros(a.n, dtype=a.vals.dtype)
+        jax.block_until_ready(spmv(h, x))
+    return h
+
+
+def spmv(handle: SpmvHandle, x) -> jax.Array:
+    """Execute y = A @ x (reference ``spmv``, include/spmv.h:65-71).
+
+    Unlike the reference, the matrix lives in the handle (device-resident);
+    only x flows in per call.
+    """
+    if handle._cleared or not handle.plan:
+        raise RuntimeError("handle was cleared/destroyed; create a new one")
+    x = jnp.asarray(x)
+    if x.shape != (handle.n,):
+        raise ValueError(f"x has shape {x.shape}, expected ({handle.n},)")
+    y = _dispatch(handle, x)
+    out_dtype = _acc_dtype(jnp.bfloat16) if handle.dtype == jnp.bfloat16 \
+        else handle.dtype
+    return y.astype(out_dtype)
+
+
+# -- reference-parity spellings ---------------------------------------------
+
+def spmv_create_handle_all_in_one(m: int, n: int, rowptr, colidx, vals,
+                                  nthreads: int = 0,
+                                  method: Method = Method.AUTO,
+                                  dtype=None,
+                                  vectorized: VectorizedWay = VectorizedWay.VPU,
+                                  mtx_token: Optional[str] = None) -> SpmvHandle:
+    """Raw-array parity constructor (include/spmv.h:41-52)."""
+    vals = np.asarray(vals)
+    if dtype is not None:
+        vals = vals.astype(dtype)
+    a = CsrMatrix(m, n, rowptr, colidx, vals)
+    return create_handle(a, method=method, nthreads=nthreads,
+                         vectorized=vectorized, mtx_token=mtx_token)
+
+
+def spmv_clear_handle(handle: SpmvHandle) -> None:
+    if handle is not None:
+        handle.clear()
+
+
+def spmv_destroy_handle(handle: SpmvHandle) -> None:
+    if handle is not None:
+        handle.clear()
+
+
+#: the reference spells it "destory" (include/spmv.h:19) — keep the alias
+spmv_destory_handle = spmv_destroy_handle

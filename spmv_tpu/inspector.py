@@ -1,0 +1,90 @@
+"""Matrix inspector / auto-tuner.
+
+The reference README promises "Matrix inspect and choose best method to run"
+but ships an empty section (README.md:222-223).  This module implements it:
+featurize the matrix on the host and pick the execution plan, encoding both
+the reference's hard routing rules (CSR5-with-float falls back to SELL,
+common.c:174-181; balanced2 demotes to balanced when there are no mega-rows,
+parallel_balanced2_spmv.c:87-90) and TPU cost-model rules (padding overhead
+vs scan overhead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .types import CsrMatrix, Method
+
+__all__ = ["MatrixFeatures", "featurize", "choose_method"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixFeatures:
+    m: int
+    n: int
+    nnz: int
+    mean_row: float
+    std_row: float
+    max_row: int
+    empty_frac: float
+    # Padding overhead if packed as SELL-C-σ with C=128, pow2 depths:
+    sell_pad_ratio: float
+
+    @property
+    def cv_row(self) -> float:
+        return self.std_row / self.mean_row if self.mean_row > 0 else 0.0
+
+
+def _sell_pad_ratio(lengths: np.ndarray, c: int = 128,
+                    sigma: int = 16 * 128) -> float:
+    """Estimate padded_nnz / nnz for SELL packing without building it."""
+    m_pad = max(-(-len(lengths) // c) * c, c)
+    lens = np.zeros(m_pad, dtype=np.int64)
+    lens[: len(lengths)] = lengths
+    grid = -(-m_pad // sigma) * sigma
+    lw = np.full(grid, 0, dtype=np.int64)
+    lw[:m_pad] = lens
+    win = np.sort(lw.reshape(-1, sigma), axis=1)[:, ::-1].reshape(-1)[:m_pad]
+    depth = win.reshape(-1, c).max(axis=1)
+    padded = np.maximum(8, 2 ** np.ceil(np.log2(np.maximum(depth, 1))).astype(np.int64))
+    padded = np.maximum(padded, 8)
+    total = int((padded * c).sum())
+    nnz = int(lens.sum())
+    return total / max(nnz, 1)
+
+
+def featurize(a: CsrMatrix) -> MatrixFeatures:
+    lengths = a.row_lengths.astype(np.int64)
+    mean = float(lengths.mean()) if a.m else 0.0
+    return MatrixFeatures(
+        m=a.m, n=a.n, nnz=a.nnz,
+        mean_row=mean,
+        std_row=float(lengths.std()) if a.m else 0.0,
+        max_row=int(lengths.max()) if a.m else 0,
+        empty_frac=float((lengths == 0).mean()) if a.m else 0.0,
+        sell_pad_ratio=_sell_pad_ratio(lengths) if a.m else 1.0,
+    )
+
+
+def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
+    """Pick the fastest plan for this matrix on TPU.
+
+    Cost model: every plan's traffic is ≈ gather(nnz_effective) + streams.
+    SELL's nnz_effective is nnz·pad_ratio but it has no scan pass and no
+    scatter; the scan plans touch exactly nnz but add a cumsum pass.  So:
+    prefer SELL while padding is modest; fall back to the tiled scan when
+    padding explodes (extreme row-length skew) — the same regime where the
+    reference switches from SELL to balanced2/CSR5.
+    """
+    f = feats or featurize(a)
+    if f.nnz == 0 or f.m == 0:
+        return Method.SERIAL
+    # Tiny matrices: compile-simple serial plan is fine.
+    if f.nnz < 10_000:
+        return Method.SERIAL
+    if f.sell_pad_ratio <= 1.6:
+        return Method.SELL_C_SIGMA
+    # Heavy skew / mega-rows: exact-nnz scan handles any distribution.
+    return Method.BALANCED

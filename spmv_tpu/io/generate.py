@@ -1,0 +1,115 @@
+"""Synthetic test-matrix generators.
+
+The reference synthesizes its bench inputs as ``Val[i] = rand()%8 * 0.125`` and
+``X[i] = 1`` (src/samples/test_spmv.c:199-202) — dyadic-rational values that
+make float32/float64 arithmetic *exact* for modest row sums, so validation can
+use exact comparison.  :func:`exact_values` reproduces that trick as a fixture.
+
+Generators cover the structural regimes the reference's methods exist to
+handle: banded (uniform rows — serial/parallel), power-law (mega-rows —
+balanced2/Yid), uniform random (SELL/CSR5), plus empty-row and rectangular
+cases called out in SURVEY.md §7 as property-test musts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..types import CsrMatrix, INT_DTYPE
+
+__all__ = [
+    "exact_values",
+    "banded",
+    "random_uniform",
+    "power_law",
+    "diag_plus_random",
+    "with_empty_rows",
+    "make_x",
+]
+
+
+def exact_values(rng: np.random.Generator, nnz: int, dtype=np.float64) -> np.ndarray:
+    """Dyadic-exact values (k/8, k in 0..7) — reference test_spmv.c:200."""
+    return (rng.integers(0, 8, size=nnz).astype(np.float64) * 0.125).astype(dtype)
+
+
+def make_x(n: int, dtype=np.float64, kind: str = "ones",
+           seed: int = 0) -> np.ndarray:
+    """x vector fixtures: reference uses all-ones (test_spmv.c:202)."""
+    if kind == "ones":
+        return np.ones(n, dtype=dtype)
+    rng = np.random.default_rng(seed)
+    if kind == "exact":
+        return exact_values(rng, n, dtype)
+    return rng.standard_normal(n).astype(dtype)
+
+
+def banded(m: int, n: int, bandwidth: int, dtype=np.float64,
+           seed: int = 0, exact: bool = True) -> CsrMatrix:
+    """Dense-banded matrix (BASELINE.json config 1)."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for off in range(-bandwidth, bandwidth + 1):
+        r = np.arange(max(0, -off), min(m, n - off), dtype=INT_DTYPE)
+        rows.append(r)
+        cols.append(r + off)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = exact_values(rng, rows.size, dtype) if exact else \
+        rng.standard_normal(rows.size).astype(dtype)
+    return CsrMatrix.from_coo(m, n, rows, cols, vals, sum_duplicates=False)
+
+
+def random_uniform(m: int, n: int, nnz_per_row: int, dtype=np.float64,
+                   seed: int = 0, exact: bool = True) -> CsrMatrix:
+    """Uniform random sparsity: every row ~nnz_per_row nonzeros."""
+    rng = np.random.default_rng(seed)
+    counts = rng.poisson(nnz_per_row, size=m).clip(0, n)
+    rows = np.repeat(np.arange(m, dtype=INT_DTYPE), counts)
+    cols = rng.integers(0, n, size=rows.size).astype(INT_DTYPE)
+    vals = exact_values(rng, rows.size, dtype) if exact else \
+        rng.standard_normal(rows.size).astype(dtype)
+    return CsrMatrix.from_coo(m, n, rows, cols, vals)  # duplicates summed
+
+
+def power_law(m: int, n: int, nnz_target: int, alpha: float = 1.8,
+              dtype=np.float64, seed: int = 0, exact: bool = True) -> CsrMatrix:
+    """Power-law row-length distribution — a few mega-rows, many tiny rows.
+
+    This is the regime the reference's balanced2/balancedYid splitters exist
+    for (parallel_balanced2_spmv.c:55-209) and BASELINE.json config 3's
+    webbase-1M stands in for.
+    """
+    rng = np.random.default_rng(seed)
+    raw = rng.zipf(alpha, size=m).astype(np.float64)
+    counts = np.minimum((raw / raw.sum() * nnz_target).astype(np.int64), n)
+    rows = np.repeat(np.arange(m, dtype=INT_DTYPE), counts)
+    cols = rng.integers(0, n, size=rows.size).astype(INT_DTYPE)
+    vals = exact_values(rng, rows.size, dtype) if exact else \
+        rng.standard_normal(rows.size).astype(dtype)
+    return CsrMatrix.from_coo(m, n, rows, cols, vals)
+
+
+def diag_plus_random(m: int, nnz_per_row: int = 8, dtype=np.float64,
+                     seed: int = 0) -> CsrMatrix:
+    """SPD-ish square matrix with guaranteed nonzero diagonal (for solvers)."""
+    a = random_uniform(m, m, nnz_per_row, dtype=dtype, seed=seed, exact=False)
+    d_rows = np.arange(m, dtype=INT_DTYPE)
+    rows = np.concatenate([np.repeat(np.arange(m, dtype=INT_DTYPE), a.row_lengths), d_rows])
+    cols = np.concatenate([a.colidx, d_rows])
+    vals = np.concatenate([a.vals * 0.1, np.full(m, nnz_per_row + 1.0, dtype=dtype)])
+    return CsrMatrix.from_coo(m, m, rows, cols, vals)
+
+
+def with_empty_rows(base: CsrMatrix, empty_fraction: float = 0.3,
+                    seed: int = 0) -> CsrMatrix:
+    """Zero out a random fraction of rows (CSR5 dirty-bit regime,
+    format_avx2.h:44-55)."""
+    rng = np.random.default_rng(seed)
+    keep = rng.random(base.m) >= empty_fraction
+    lengths = base.row_lengths * keep
+    rowptr = np.zeros(base.m + 1, dtype=np.int64)
+    np.cumsum(lengths, out=rowptr[1:])
+    mask = np.repeat(keep, base.row_lengths)
+    return CsrMatrix(base.m, base.n, rowptr.astype(INT_DTYPE),
+                     base.colidx[mask], base.vals[mask])

@@ -1,0 +1,99 @@
+"""Pure-XLA SpMV execution plans.
+
+These are the compiler-lowered equivalents of the reference's method bodies
+(L2, e.g. serial_spmv.c / parallel_balanced_Yid_spmv.c): jittable functions
+over static-shape device arrays built at handle time.  Three design rules,
+all driven by TPU cost model rather than the reference's thread model:
+
+1. the only irregular memory op is the ``x[colidx]`` gather (the same hot
+   gather as the reference's ``x[indx[k]]``, inner_spmv.h:255-258);
+2. **no scatter-add anywhere** — row sums come out of prefix-scan differences
+   or slice reductions followed by an inverse-permutation *gather*;
+3. everything is shape-static so one jitted executable serves every call
+   (the reference's handle contract, include/spmv.h:55-64).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "gather_x",
+    "segment_sum_spmv",
+    "scan_spmv_global",
+    "scan_spmv_tiled",
+    "sell_spmv",
+]
+
+
+def gather_x(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """The hot gather. Indices are in-bounds by construction (padding → 0)."""
+    return x.at[idx].get(mode="promise_in_bounds", unique_indices=False)
+
+
+def segment_sum_spmv(rows, colidx, vals, x, *, m: int):
+    """Method_Serial plan: naive gather + sorted segment-sum (scatter-add).
+
+    The straight-line translation of the reference's serial row loop
+    (serial_spmv.c:9-37) into one gather + one segment reduction.  Kept as
+    the simplest correct program; the balanced plans below avoid its
+    scatter-add.
+    """
+    prod = vals * gather_x(x, colidx)
+    return jax.ops.segment_sum(prod, rows, num_segments=m,
+                               indices_are_sorted=True)
+
+
+def scan_spmv_global(colidx_pad, vals_pad, row_start, row_end, x):
+    """Method_BalancedYid plan: exact-nnz split via one global prefix scan.
+
+    The reference splits the nnz stream exactly evenly and fixes up partial
+    rows with serial carry loops (parallel_balanced_Yid_spmv.c:16-53,
+    :151-156).  A prefix sum over the product stream subsumes all of that:
+    every row is ``csum[end] - csum[start]`` (streams carry one prepended
+    zero so the inclusive scan is an exclusive prefix — see
+    formats/partition.py).
+    """
+    prod = vals_pad * gather_x(x, colidx_pad)
+    csum = jnp.cumsum(prod)
+    return gather_x(csum, row_end) - gather_x(csum, row_start)
+
+
+def scan_spmv_tiled(colidx_pad, vals_pad, row_start, row_end, x, *, tile: int):
+    """Method_Balanced plan: two-level (tile + carry) prefix scan.
+
+    Same algebra as :func:`scan_spmv_global` but the scan is hierarchical:
+    an independent scan per equal-nnz tile (the analog of the reference's
+    per-thread nnz quantiles, parallel_balanced_spmv.c:39-58) plus a tiny
+    carry scan across tiles (the analog of CSR5's calibrator,
+    csr5_spmv_avx2.h:320-335).  Exposes tile-level parallelism to the
+    compiler and keeps partial sums short for f32 accuracy.
+    """
+    prod = (vals_pad * gather_x(x, colidx_pad)).reshape(-1, tile)
+    local = jnp.cumsum(prod, axis=1)
+    carry = jnp.cumsum(local[:, -1])
+    carry = jnp.concatenate([jnp.zeros((1,), carry.dtype), carry[:-1]])
+    csum = (local + carry[:, None]).reshape(-1)
+    return gather_x(csum, row_end) - gather_x(csum, row_start)
+
+
+def sell_spmv(bucket_cols, bucket_vals, inv_pos, x, *, identity_order: bool):
+    """Method_SellCSigma / Method_Parallel plan: bucketed SELL slices.
+
+    Per bucket ``(ns, depth, 128)``: gather x, FMA down the depth axis —
+    the TPU-native line product (vs inner_spmv.h:411-477's C-wide AVX2
+    columns) — then restore row order with one inverse-permutation gather
+    (the reference scatters to ``Y[RowIndex]`` instead,
+    sell_C_Sigma_spmv.c:283-287).
+    """
+    parts = []
+    for cols, vals in zip(bucket_cols, bucket_vals):
+        xg = gather_x(x, cols)
+        parts.append(jnp.sum(vals * xg, axis=1).reshape(-1))
+    y_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    if identity_order:
+        return y_all[: inv_pos.shape[0]]
+    return gather_x(y_all, inv_pos)

@@ -1,0 +1,108 @@
+"""Every method × every matrix in the zoo × dtypes, vs the golden oracle.
+
+The reference's only systematic check is its method sweep with RMSE gating
+(test_spmv.c:237-245, :138-145); this is that sweep as a real test suite,
+plus the exact-arithmetic gate its value fixture enables.
+"""
+
+import numpy as np
+import pytest
+
+import spmv_tpu
+from spmv_tpu import Method
+from spmv_tpu.io import generate
+from spmv_tpu.oracle import spmv_golden
+
+METHODS = [
+    Method.SERIAL,
+    Method.PARALLEL,
+    Method.BALANCED,
+    Method.BALANCED2,
+    Method.BALANCED_YID,
+    Method.SELL_C_SIGMA,
+    Method.CSR5,
+    Method.AUTO,
+]
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_method_exact_arithmetic(matrices, method):
+    """Dyadic values + x=1 → device f64 result must be bit-exact vs oracle
+    (the reference's reproducibility trick, test_spmv.c:199-202)."""
+    for name, a in matrices.items():
+        h = spmv_tpu.create_handle(a, method=method)
+        x = generate.make_x(a.n, dtype=np.float64, kind="ones")
+        y = np.asarray(spmv_tpu.spmv(h, x))
+        g = spmv_golden(a, x)
+        np.testing.assert_array_equal(y, g, err_msg=f"{name}/{method.name}")
+
+
+@pytest.mark.parametrize("method", METHODS)
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_method_random_values(matrices, method, dtype):
+    rng = np.random.default_rng(0)
+    for name, a in matrices.items():
+        a = spmv_tpu.CsrMatrix(a.m, a.n, a.rowptr, a.colidx,
+                               rng.standard_normal(a.nnz).astype(dtype))
+        h = spmv_tpu.create_handle(a, method=method)
+        x = rng.standard_normal(a.n).astype(dtype)
+        y = np.asarray(spmv_tpu.spmv(h, x))
+        g = spmv_golden(a, x.astype(np.float64))
+        tol = 1e-4 if dtype == np.float32 else 1e-10
+        scale = max(np.abs(g).max(), 1.0)
+        np.testing.assert_allclose(y, g, rtol=0, atol=tol * scale,
+                                   err_msg=f"{name}/{method.name}/{dtype}")
+
+
+def test_handle_repeated_execution(matrices):
+    a = matrices["uniform"]
+    h = spmv_tpu.create_handle(a, method=Method.SELL_C_SIGMA)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        x = rng.standard_normal(a.n)
+        np.testing.assert_allclose(np.asarray(spmv_tpu.spmv(h, x)),
+                                   spmv_golden(a, x), atol=1e-10)
+
+
+def test_handle_clear_and_destroy(matrices):
+    a = matrices["tiny"]
+    h = spmv_tpu.create_handle(a, method=Method.SERIAL)
+    spmv_tpu.spmv_clear_handle(h)
+    with pytest.raises(RuntimeError):
+        spmv_tpu.spmv(h, np.zeros(a.n))
+    # reference-parity alias exists, tolerates None
+    spmv_tpu.spmv_destory_handle(None)
+    spmv_tpu.spmv_destroy_handle(h)
+
+
+def test_parity_constructor():
+    a = generate.banded(50, 50, 2)
+    h = spmv_tpu.spmv_create_handle_all_in_one(
+        a.m, a.n, a.rowptr, a.colidx, a.vals,
+        nthreads=8, method=Method.BALANCED, dtype=np.float64,
+        mtx_token="banded50")
+    x = np.ones(a.n)
+    np.testing.assert_array_equal(np.asarray(spmv_tpu.spmv(h, x)),
+                                  spmv_golden(a, x))
+    assert h.mtx_token == "banded50"
+    assert h.method_name == "Method_Balanced"
+
+
+def test_x_shape_validation(matrices):
+    a = matrices["banded_rect"]  # m != n
+    h = spmv_tpu.create_handle(a, method=Method.SERIAL)
+    with pytest.raises(ValueError):
+        spmv_tpu.spmv(h, np.zeros(a.m))  # wrong: must be n-length
+
+
+def test_bfloat16_storage():
+    import jax.numpy as jnp
+    import ml_dtypes
+    a = generate.banded(256, 256, 3, dtype=np.float32)
+    a16 = spmv_tpu.CsrMatrix(a.m, a.n, a.rowptr, a.colidx,
+                             a.vals.astype(ml_dtypes.bfloat16))
+    h = spmv_tpu.create_handle(a16, method=Method.SELL_C_SIGMA)
+    x = np.ones(a.n, dtype=np.float32)
+    y = np.asarray(spmv_tpu.spmv(h, x))
+    assert y.dtype == np.float32  # f32 accumulation of bf16 storage
+    np.testing.assert_array_equal(y, spmv_golden(a, x))  # dyadic-exact in bf16
