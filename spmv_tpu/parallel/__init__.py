@@ -1,0 +1,5 @@
+"""Multi-chip execution layer (mesh row-partitioned SpMV)."""
+
+from .mesh import DistSpmvPlan, build_dist_plan, dist_spmv, make_mesh_1d
+
+__all__ = ["DistSpmvPlan", "build_dist_plan", "dist_spmv", "make_mesh_1d"]

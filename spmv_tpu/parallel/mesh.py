@@ -1,0 +1,190 @@
+"""Multi-chip SpMV over a device mesh.
+
+TPU re-design of the reference's NUMA-partitioned sample
+(``src/samples/numa.c:268-439``), which splits matrix rows into per-NUMA-node
+blocks (and optionally the x vector too) and runs pinned threads.  Here the
+"nodes" are TPU chips on a 1-D mesh axis:
+
+* **Row sharding**: rows are split into one contiguous block per device,
+  balanced by *nnz* rather than row count — the same quantile splitter the
+  reference uses per thread (``init_csrSplitter_balanced``,
+  parallel_balanced_spmv.c:39-58), reused across chips exactly as SURVEY.md
+  §7 step 6 prescribes.
+* **Static shapes**: every device's CSR streams are padded to the mesh-wide
+  maximum and stacked into ``(ndev, ...)`` arrays so one jitted ``shard_map``
+  program serves all shards.
+* **x placement**: ``x_mode="replicated"`` keeps x whole on every chip (the
+  reference numa sample's fallback; right when n is small).
+  ``x_mode="allgather"`` shards x across the mesh and all-gathers it over ICI
+  inside the shard — the analog of the reference's cross-node reads
+  (numa.c:151-153), but as an explicit XLA collective the compiler can
+  overlap with compute.
+* **No scatter**: each shard computes its row block with the tiled-scan plan
+  (ops/xla_csr.py); the blocks concatenate along the mesh axis and a single
+  static gather restores the (padded) row order.
+
+Works identically on a real TPU mesh and on the 8-device virtual CPU mesh
+used by tests and the driver's dry-run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from ..types import CsrMatrix, INT_DTYPE
+from ..formats.partition import balanced_row_splitter
+from ..ops import xla_csr
+
+__all__ = ["DistSpmvPlan", "build_dist_plan", "dist_spmv", "make_mesh_1d"]
+
+
+def make_mesh_1d(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+@dataclasses.dataclass
+class DistSpmvPlan:
+    """Row-sharded SpMV plan: static metadata + device-sharded arrays."""
+
+    mesh: Mesh
+    axis: str
+    ndev: int
+    m: int
+    n: int
+    nnz: int
+    tile: int
+    mr: int                      # padded rows per shard
+    row_splitter: np.ndarray     # (ndev+1,) global row boundaries
+    x_mode: str                  # "replicated" | "allgather"
+    # sharded device arrays, leading dim = ndev:
+    colidx_pad: jax.Array        # (ndev, L) local col indices (globally valid)
+    vals_pad: jax.Array          # (ndev, L)
+    row_start: jax.Array         # (ndev, mr) positions into local padded stream
+    row_end: jax.Array           # (ndev, mr)
+    out_index: jax.Array         # (m,) gather map from (ndev*mr,) to row order
+    _exec: object = None         # cached jitted executable
+
+    def __call__(self, x) -> jax.Array:
+        return dist_spmv(self, x)
+
+
+def _pad_to(arr: np.ndarray, length: int, fill=0) -> np.ndarray:
+    out = np.full(length, fill, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def build_dist_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
+                    tile: int = 2048, x_mode: str = "replicated") -> DistSpmvPlan:
+    """Partition rows over the mesh (nnz-balanced) and place shards.
+
+    The per-device block construction mirrors the reference numa sample's
+    per-node sub-matrix build (numa.c:277-304) but with static padded shapes
+    so XLA compiles one program for all shards.
+    """
+    if x_mode not in ("replicated", "allgather"):
+        raise ValueError(f"unknown x_mode {x_mode!r}")
+    ndev = mesh.shape[axis]
+    splitter = balanced_row_splitter(a.rowptr, ndev).astype(np.int64)
+    rowptr64 = a.rowptr.astype(np.int64)
+
+    mr = max(int(np.max(splitter[1:] - splitter[:-1])), 1)
+    shard_nnz = rowptr64[splitter[1:]] - rowptr64[splitter[:-1]]
+    # local stream length: +1 for the prepended zero (see TileScanPlan), then
+    # rounded to the tile size; same L for every shard.
+    L = max(-(-(int(shard_nnz.max()) + 1) // tile) * tile, tile)
+
+    colidx = np.zeros((ndev, L), dtype=INT_DTYPE)
+    vals = np.zeros((ndev, L), dtype=a.vals.dtype)
+    row_start = np.zeros((ndev, mr), dtype=INT_DTYPE)
+    row_end = np.zeros((ndev, mr), dtype=INT_DTYPE)
+    for d in range(ndev):
+        r0, r1 = int(splitter[d]), int(splitter[d + 1])
+        p0, p1 = int(rowptr64[r0]), int(rowptr64[r1])
+        nr = r1 - r0
+        colidx[d, 1: 1 + p1 - p0] = a.colidx[p0:p1]
+        vals[d, 1: 1 + p1 - p0] = a.vals[p0:p1]
+        # With the prepended zero, the original stream element p sits at
+        # padded index p - p0 + 1, so the exclusive prefix sum at boundary p
+        # equals the INCLUSIVE scan at index p - p0; padded rows point at
+        # index 0 (start == end) → y = 0.
+        row_start[d, :nr] = (rowptr64[r0:r1] - p0).astype(INT_DTYPE)
+        row_end[d, :nr] = (rowptr64[r0 + 1: r1 + 1] - p0).astype(INT_DTYPE)
+
+    # y comes out as (ndev*mr,) = concat of padded shard blocks; row i of the
+    # global matrix lives at shard d(i), local slot i - splitter[d].
+    owner = np.searchsorted(splitter, np.arange(a.m), side="right") - 1
+    out_index = (owner * mr + (np.arange(a.m) - splitter[owner])).astype(INT_DTYPE)
+
+    sh = functools.partial(NamedSharding, mesh)
+    dev_sharded = lambda arr: jax.device_put(arr, sh(P(axis)))
+    plan = DistSpmvPlan(
+        mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
+        tile=tile, mr=mr, row_splitter=splitter, x_mode=x_mode,
+        colidx_pad=dev_sharded(colidx),
+        vals_pad=dev_sharded(vals),
+        row_start=dev_sharded(row_start),
+        row_end=dev_sharded(row_end),
+        out_index=jax.device_put(out_index, sh(P())),
+    )
+    plan._exec = _build_executable(plan)
+    return plan
+
+
+def _build_executable(plan: DistSpmvPlan):
+    mesh, axis = plan.mesh, plan.axis
+    x_sharded = plan.x_mode == "allgather"
+
+    def shard_body(colidx, vals, row_start, row_end, x):
+        # blocks arrive as (1, L) / (1, mr) — one shard of the leading dim
+        if x_sharded:
+            x = jax.lax.all_gather(x, axis, tiled=True)
+        y = xla_csr.scan_spmv_tiled(colidx[0], vals[0], row_start[0],
+                                    row_end[0], x, tile=plan.tile)
+        return y[None, :]
+
+    smap = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  P(axis) if x_sharded else P()),
+        out_specs=P(axis),
+    )
+
+    @jax.jit
+    def run(colidx, vals, row_start, row_end, x, out_index):
+        y_blocks = smap(colidx, vals, row_start, row_end, x)  # (ndev*mr,)
+        return xla_csr.gather_x(y_blocks.reshape(-1), out_index)
+
+    return run
+
+
+def _pad_x_for_mesh(plan: DistSpmvPlan, x: jax.Array) -> jax.Array:
+    """Pad x to a multiple of ndev for even sharding (allgather mode)."""
+    n_pad = -(-plan.n // plan.ndev) * plan.ndev
+    if n_pad == plan.n:
+        return x
+    return jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
+
+
+def dist_spmv(plan: DistSpmvPlan, x) -> jax.Array:
+    """Execute y = A @ x across the mesh."""
+    x = jnp.asarray(x)
+    if x.shape != (plan.n,):
+        raise ValueError(f"x has shape {x.shape}, expected ({plan.n},)")
+    if plan.x_mode == "allgather":
+        x = _pad_x_for_mesh(plan, x)
+        x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
+    else:
+        x = jax.device_put(x, NamedSharding(plan.mesh, P()))
+    return plan._exec(plan.colidx_pad, plan.vals_pad, plan.row_start,
+                      plan.row_end, x, plan.out_index)

@@ -1,0 +1,44 @@
+"""Multi-chip SpMV on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+
+from spmv_tpu.io import generate
+from spmv_tpu.oracle import spmv_golden
+from spmv_tpu.parallel import build_dist_plan, dist_spmv, make_mesh_1d
+
+
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather"])
+@pytest.mark.parametrize("ndev", [1, 4, 8])
+def test_dist_matches_golden(matrices, x_mode, ndev):
+    mesh = make_mesh_1d(ndev)
+    for name, a in matrices.items():
+        x = generate.make_x(a.n, a.dtype, kind="normal", seed=11)
+        plan = build_dist_plan(a, mesh, tile=256, x_mode=x_mode)
+        y = np.asarray(dist_spmv(plan, x))
+        ref = spmv_golden(a, x)
+        np.testing.assert_allclose(y, ref, rtol=1e-10, atol=1e-12,
+                                   err_msg=f"{name} ndev={ndev} {x_mode}")
+
+
+def test_dist_nnz_balance():
+    a = generate.power_law(4000, 4000, 120_000, seed=3)
+    mesh = make_mesh_1d(8)
+    plan = build_dist_plan(a, mesh)
+    s = plan.row_splitter
+    rp = a.rowptr.astype(np.int64)
+    shard_nnz = rp[s[1:]] - rp[s[:-1]]
+    # every shard's nnz within one max-row-length of the ideal quantile
+    ideal = a.nnz / 8
+    max_row = int(a.row_lengths.max())
+    assert shard_nnz.max() <= ideal + max_row + 1
+
+
+def test_dist_f32():
+    a = generate.random_uniform(700, 600, 8, seed=9).astype(np.float32)
+    x = generate.make_x(a.n, np.float32, kind="normal", seed=1)
+    plan = build_dist_plan(a, make_mesh_1d(8), tile=128, x_mode="allgather")
+    y = np.asarray(dist_spmv(plan, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=1e-6)
