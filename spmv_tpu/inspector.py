@@ -29,7 +29,7 @@ class MatrixFeatures:
     std_row: float
     max_row: int
     empty_frac: float
-    # Padding overhead if packed as SELL-C-σ with C=128, pow2 depths:
+    # Padding overhead if packed as chunked SELL-C-σ (C=128, depth mult-of-8):
     sell_pad_ratio: float
 
     @property
@@ -38,8 +38,8 @@ class MatrixFeatures:
 
 
 def _sell_pad_ratio(lengths: np.ndarray, c: int = 128,
-                    sigma: int = 16 * 128) -> float:
-    """Estimate padded_nnz / nnz for SELL packing without building it."""
+                    sigma: int = 32 * 128, sub: int = 8) -> float:
+    """Estimate padded_nnz / nnz for chunked SELL packing without building it."""
     m_pad = max(-(-len(lengths) // c) * c, c)
     lens = np.zeros(m_pad, dtype=np.int64)
     lens[: len(lengths)] = lengths
@@ -48,8 +48,7 @@ def _sell_pad_ratio(lengths: np.ndarray, c: int = 128,
     lw[:m_pad] = lens
     win = np.sort(lw.reshape(-1, sigma), axis=1)[:, ::-1].reshape(-1)[:m_pad]
     depth = win.reshape(-1, c).max(axis=1)
-    padded = np.maximum(8, 2 ** np.ceil(np.log2(np.maximum(depth, 1))).astype(np.int64))
-    padded = np.maximum(padded, 8)
+    padded = np.maximum(-(-depth // sub) * sub, sub)
     total = int((padded * c).sum())
     nnz = int(lens.sum())
     return total / max(nnz, 1)

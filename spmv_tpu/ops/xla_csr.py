@@ -41,8 +41,13 @@ def segment_sum_spmv(rows, colidx, vals, x, *, m: int):
     (serial_spmv.c:9-37) into one gather + one segment reduction.  Kept as
     the simplest correct program; the balanced plans below avoid its
     scatter-add.
+
+    The optimization_barrier stops XLA from fusing the gather pipeline into
+    the scatter-add consumer — measured 100× slowdown on v5e without it (the
+    fused loop serializes the gather).
     """
     prod = vals * gather_x(x, colidx)
+    prod = jax.lax.optimization_barrier(prod)
     return jax.ops.segment_sum(prod, rows, num_segments=m,
                                indices_are_sorted=True)
 
@@ -80,20 +85,25 @@ def scan_spmv_tiled(colidx_pad, vals_pad, row_start, row_end, x, *, tile: int):
     return gather_x(csum, row_end) - gather_x(csum, row_start)
 
 
-def sell_spmv(bucket_cols, bucket_vals, inv_pos, x, *, identity_order: bool):
-    """Method_SellCSigma / Method_Parallel plan: bucketed SELL slices.
+def sell_spmv(cols, vals, chunk_ids, inv_pos, x, *, nslices: int,
+              identity_order: bool):
+    """Method_SellCSigma / Method_Parallel plan: flat chunked SELL slices.
 
-    Per bucket ``(ns, depth, 128)``: gather x, FMA down the depth axis —
+    ``cols``/``vals`` are the (nchunks, 8, 128) chunk stream; one fused
+    gather+FMA+chunk-reduce produces per-chunk lane partials (nchunks, 128) —
     the TPU-native line product (vs inner_spmv.h:411-477's C-wide AVX2
-    columns) — then restore row order with one inverse-permutation gather
-    (the reference scatters to ``Y[RowIndex]`` instead,
-    sell_C_Sigma_spmv.c:283-287).
+    columns) — then a sorted segment-sum folds chunks into their slices and
+    one inverse-permutation gather restores row order (the reference
+    scatters to ``Y[RowIndex]`` instead, sell_C_Sigma_spmv.c:283-287).
+
+    The optimization_barrier keeps the gather pipeline out of the
+    segment-sum's scatter fusion (measured 100× slowdown without it).
     """
-    parts = []
-    for cols, vals in zip(bucket_cols, bucket_vals):
-        xg = gather_x(x, cols)
-        parts.append(jnp.sum(vals * xg, axis=1).reshape(-1))
-    y_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    part = jnp.sum(vals * gather_x(x, cols), axis=1)       # (nchunks, 128)
+    part = jax.lax.optimization_barrier(part)
+    y_slices = jax.ops.segment_sum(part, chunk_ids, num_segments=nslices,
+                                   indices_are_sorted=True)
+    y_all = y_slices.reshape(-1)
     if identity_order:
         return y_all[: inv_pos.shape[0]]
     return gather_x(y_all, inv_pos)
