@@ -1,0 +1,53 @@
+"""Honest device timing — see PERFNOTES.md.
+
+The runtime caches repeated dispatches (same executable + same argument
+buffers return in microseconds without executing) and XLA constant-folds
+chained elementwise iterations.  The only protocol that measured truthfully
+on this device:
+
+1. wrap the op in a ``fori_loop`` whose carry perturbs the input through a
+   non-foldable data dependency,
+2. time the second ``block_until_ready`` end to end, divide by iterations.
+
+``time_spmv`` builds that loop around an ``x -> y`` SpMV callable (requires
+m == n so y feeds back; benchmark matrices are square, as are the
+reference's, test_spmv.c:217).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["time_op", "time_spmv"]
+
+
+def time_op(step: Callable, x0, iters: int = 10, repeats: int = 2) -> float:
+    """Seconds per iteration of ``step`` (x -> x-like, data-dependent)."""
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, lambda i, x: step(x), x))
+    jax.block_until_ready(f(x0))          # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x0))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def time_spmv(spmv_fn: Callable, x0, iters: int = 10,
+              repeats: int = 3) -> float:
+    """Honest s/iter for y = A@x.  ``spmv_fn`` must map (n,) -> (n,).
+
+    The carry renormalizes each iteration (divide by a power of two near the
+    max: exact in fp, cannot be folded, keeps values finite).
+    """
+    def step(x):
+        y = spmv_fn(x)
+        scale = jnp.exp2(-jnp.ceil(jnp.log2(jnp.maximum(
+            jnp.max(jnp.abs(y)), 1e-30))))
+        return y * scale
+
+    return time_op(step, x0, iters=iters, repeats=repeats)

@@ -1,0 +1,52 @@
+"""DIA (diagonal) format — the zero-gather fast path for banded matrices.
+
+The reference has no DIA format (its SIMD dot products handle bands like any
+row, inner_spmv.h:232-286); on this TPU it is the single most profitable
+specialization: ``y = Σ_d diag_d ⊙ shift(x, offset_d)`` is pure streaming —
+no gather anywhere — and XLA lowers static shifts to fused slices
+(PERFNOTES.md: streaming runs 25-1000× faster than gathers here).
+
+Fill ratio (nnz / (ndiags·m)) gates profitability: padding streams zeros.
+The inspector uses :func:`dia_profile` to decide.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..types import CsrMatrix, INT_DTYPE
+
+__all__ = ["DiaMatrix", "pack_dia", "dia_profile"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    m: int
+    n: int
+    nnz_stored: int
+    offsets: np.ndarray   # (ndiags,) int32, sorted; offset o holds A[i, i+o]
+    data: np.ndarray      # (ndiags, m) dtype; data[d, i] = A[i, i+offsets[d]]
+
+    @property
+    def fill(self) -> float:
+        return self.nnz_stored / max(self.data.size, 1)
+
+
+def dia_profile(a: CsrMatrix, max_diags: int = 1024):
+    """(ndiags, fill) without building the format."""
+    if a.nnz == 0:
+        return 0, 0.0
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    offs = np.unique(a.colidx.astype(np.int64) - rows)
+    return len(offs), a.nnz / max(len(offs) * a.m, 1)
+
+
+def pack_dia(a: CsrMatrix) -> DiaMatrix:
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    off = a.colidx.astype(np.int64) - rows
+    uniq, inv = np.unique(off, return_inverse=True)
+    data = np.zeros((len(uniq), a.m), dtype=a.vals.dtype)
+    data[inv, rows] = a.vals
+    return DiaMatrix(a.m, a.n, a.nnz, uniq.astype(INT_DTYPE), data)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .types import CsrMatrix, Method, VectorizedWay, METHOD_NAMES, INT_DTYPE
-from .formats import partition, sell as sell_fmt
+from .formats import partition, sell as sell_fmt, dia as dia_fmt
 from .ops import xla_csr
 
 __all__ = [
@@ -84,6 +84,13 @@ def _exec_scan_tiled(colidx_pad, vals_pad, row_start, row_end, x, tile):
     return xla_csr.scan_spmv_tiled(colidx_pad, vals_pad.astype(acc),
                                    row_start, row_end, x.astype(acc),
                                    tile=tile)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "m", "n"))
+def _exec_dia(data, x, offsets, m, n):
+    acc = _acc_dtype(data.dtype)
+    return xla_csr.dia_spmv(data.astype(acc), x.astype(acc),
+                            offsets=offsets, m=m, n=n)
 
 
 @functools.partial(jax.jit, static_argnames=("nslices", "identity_order"))
@@ -172,6 +179,14 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int) -> Dict[str, Any]:
             "row_start": dev(p.row_start),
             "row_end": dev(p.row_end),
         }
+    if method == Method.DIA:
+        d = dia_fmt.pack_dia(a)
+        return {
+            "data": dev(d.data),
+            "offsets": tuple(int(o) for o in d.offsets),
+            "n": a.n,
+            "fill": d.fill,
+        }
     if method in (Method.PARALLEL, Method.SELL_C_SIGMA):
         sigma = 1 if method == Method.PARALLEL else 32 * sell_fmt.LANES
         s = sell_fmt.pack_sell(a, sigma=sigma)
@@ -210,6 +225,9 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
         return lambda x: _exec_sell(p["cols"], p["vals"], p["chunk_ids"],
                                     p["inv_pos"], x, p["nslices"],
                                     p["identity_order"])
+    if m == Method.DIA:
+        return lambda x: _exec_dia(p["data"], x, p["offsets"], m_rows,
+                                   p["n"])
     raise ValueError(f"unknown method {m}")
 
 

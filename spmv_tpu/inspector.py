@@ -31,6 +31,9 @@ class MatrixFeatures:
     empty_frac: float
     # Padding overhead if packed as chunked SELL-C-σ (C=128, depth mult-of-8):
     sell_pad_ratio: float
+    # Diagonal structure: distinct (col-row) offsets and nnz/(ndiags·m) fill
+    ndiags: int = 0
+    dia_fill: float = 0.0
 
     @property
     def cv_row(self) -> float:
@@ -55,8 +58,10 @@ def _sell_pad_ratio(lengths: np.ndarray, c: int = 128,
 
 
 def featurize(a: CsrMatrix) -> MatrixFeatures:
+    from .formats.dia import dia_profile
     lengths = a.row_lengths.astype(np.int64)
     mean = float(lengths.mean()) if a.m else 0.0
+    ndiags, dia_fill = dia_profile(a) if a.nnz else (0, 0.0)
     return MatrixFeatures(
         m=a.m, n=a.n, nnz=a.nnz,
         mean_row=mean,
@@ -64,6 +69,7 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
         max_row=int(lengths.max()) if a.m else 0,
         empty_frac=float((lengths == 0).mean()) if a.m else 0.0,
         sell_pad_ratio=_sell_pad_ratio(lengths) if a.m else 1.0,
+        ndiags=ndiags, dia_fill=dia_fill,
     )
 
 
@@ -80,6 +86,12 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
     f = feats or featurize(a)
     if f.nnz == 0 or f.m == 0:
         return Method.SERIAL
+    # Banded/diagonal structure → the zero-gather streaming plan (the only
+    # SpMV this device runs at full bandwidth, PERFNOTES.md).  Fill gate:
+    # streamed zeros must not exceed ~3× the nnz, and the unrolled
+    # per-diagonal op count must stay compile-friendly.
+    if f.ndiags and f.ndiags <= 256 and f.dia_fill >= 0.3:
+        return Method.DIA
     # Tiny matrices: compile-simple serial plan is fine.
     if f.nnz < 10_000:
         return Method.SERIAL

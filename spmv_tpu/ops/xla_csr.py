@@ -26,6 +26,7 @@ __all__ = [
     "scan_spmv_global",
     "scan_spmv_tiled",
     "sell_spmv",
+    "dia_spmv",
 ]
 
 
@@ -107,3 +108,26 @@ def sell_spmv(cols, vals, chunk_ids, inv_pos, x, *, nslices: int,
     if identity_order:
         return y_all[: inv_pos.shape[0]]
     return gather_x(y_all, inv_pos)
+
+
+def dia_spmv(data, x, *, offsets: tuple, m: int, n: int):
+    """Method_Dia plan: banded SpMV as shifted-stream FMAs — zero gathers.
+
+    ``y[i] = Σ_d data[d, i] · x[i + offsets[d]]`` with out-of-range x
+    reading zero padding.  All slices are static, so XLA lowers this to
+    fused streaming (the only SpMV shape this device runs at full
+    bandwidth — PERFNOTES.md).  No counterpart in the reference (its AVX2
+    row kernels treat bands like any rows); this is the TPU-native
+    specialization the inspector picks for high diagonal fill.
+    """
+    omin = min(offsets)
+    omax = max(offsets)
+    pad_l = max(0, -omin)
+    pad_r = max(0, m + omax - n) if offsets else 0
+    xpad = jnp.concatenate([
+        jnp.zeros(pad_l, x.dtype), x, jnp.zeros(max(pad_r, 0), x.dtype)])
+    acc = jnp.zeros(m, x.dtype)
+    for d, o in enumerate(offsets):
+        seg = jax.lax.dynamic_slice_in_dim(xpad, pad_l + o, m)
+        acc = acc + data[d] * seg
+    return acc

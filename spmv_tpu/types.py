@@ -48,6 +48,8 @@ class Method(enum.IntEnum):
     CSR5 = 6
     # Reference has Method_Total_Size=7 and Method_Numa=8 sentinels.
     AUTO = 9
+    # TPU-native extensions (no reference counterpart):
+    DIA = 10          # diagonal/banded format: shifted-stream FMAs, no gather
 
 
 #: Reference name strings (common.c:325-333) for CSV-schema parity.
@@ -60,6 +62,7 @@ METHOD_NAMES = {
     Method.SELL_C_SIGMA: "Method_SellCSigma",
     Method.CSR5: "Method_Csr5Spmv",
     Method.AUTO: "Method_Auto",
+    Method.DIA: "Method_Dia",
 }
 
 

@@ -106,3 +106,40 @@ def test_bfloat16_storage():
     y = np.asarray(spmv_tpu.spmv(h, x))
     assert y.dtype == np.float32  # f32 accumulation of bf16 storage
     np.testing.assert_array_equal(y, spmv_golden(a, x))  # dyadic-exact in bf16
+
+
+def test_dia_method(matrices):
+    import numpy as np
+    from spmv_tpu import create_handle, spmv, Method
+    from spmv_tpu.oracle import spmv_golden
+    for name in ("banded", "banded_rect", "tiny"):
+        a = matrices[name]
+        h = create_handle(a, method=Method.DIA)
+        x = np.random.default_rng(3).standard_normal(a.n)
+        y = np.asarray(spmv(h, x))
+        np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-10,
+                                   atol=1e-12, err_msg=name)
+
+
+def test_auto_picks_dia_for_banded(matrices):
+    from spmv_tpu import create_handle, Method
+    h = create_handle(matrices["banded"], method=Method.AUTO)
+    assert h.method == Method.DIA
+
+
+def test_dia_profile():
+    import numpy as np
+    from spmv_tpu.io import generate
+    from spmv_tpu.formats.dia import dia_profile, pack_dia
+    a = generate.banded(100, 100, 2)
+    nd, fill = dia_profile(a)
+    assert nd == 5
+    assert fill > 0.9
+    d = pack_dia(a)
+    assert d.data.shape == (5, 100)
+    # round-trip: dense reconstruction matches
+    dense = np.zeros((100, 100))
+    for k, off in enumerate(d.offsets):
+        idx = np.arange(max(0, -off), min(100, 100 - off))
+        dense[idx, idx + off] = d.data[k, idx]
+    np.testing.assert_array_equal(dense, a.to_dense())
