@@ -1,0 +1,214 @@
+"""Benchmark + validation suite — the reference harness, TPU-native.
+
+Reproduces the reference's bench/validation flow (``src/samples/test_spmv.c``):
+load or synthesize a matrix, compute a golden y, run every requested method,
+check RMSE, and emit CSV rows in the reference's exact schema
+(test_spmv.c:146-149)::
+
+    matrix,method,vectorized,threads,nnz,rmse,predeal_ms,avg_ms,GFLOPs_avg,GFLOPs_fastest
+
+Differences from the reference, all deliberate:
+
+* timing uses the HONEST fori-chained protocol (PERFNOTES.md) instead of the
+  async dispatch loop — the reference's 10+100-iteration scheme
+  (test_spmv.c:103-125) reports fantasy numbers through this runtime;
+* the ``threads`` column reports the jax device count (thread scheduling is
+  XLA's job on TPU);
+* external baselines (the role of the MKL bench, ``src/samples/mkl_spmv.c``)
+  are scipy CSR on the host CPU and ``jax.experimental.sparse`` BCOO on the
+  same device, reported as pseudo-methods ``ScipyCsr`` / ``JaxBcoo``.
+
+CLI::
+
+    python -m spmv_tpu.bench.suite builtin:banded1m builtin:uniform100k
+    python -m spmv_tpu.bench.suite path/to/matrix.mtx --methods AUTO,DIA
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from ..types import CsrMatrix, Method, METHOD_NAMES, VECTORIZED_NAMES
+from ..oracle import spmv_golden
+from .timing import time_spmv
+
+__all__ = ["BUILTIN_MATRICES", "load_any", "bench_matrix", "main",
+           "CSV_HEADER"]
+
+CSV_HEADER = ("matrix,method,vectorized,threads,nnz,rmse,predeal_ms,"
+              "avg_ms,GFLOPs_avg,GFLOPs_fastest")
+
+#: Synthetic stand-ins for the BASELINE.md configs (no SuiteSparse egress).
+BUILTIN_MATRICES = {
+    "banded1m": lambda dtype: _gen("banded", dtype, 1_000_000),
+    "banded100k": lambda dtype: _gen("banded", dtype, 100_000),
+    "uniform100k": lambda dtype: _gen("uniform", dtype, 100_000),
+    "powerlaw100k": lambda dtype: _gen("powerlaw", dtype, 100_000),
+    "uniform10k": lambda dtype: _gen("uniform", dtype, 10_000),
+}
+
+
+def _gen(kind: str, dtype, m: int) -> CsrMatrix:
+    from ..io import generate
+    if kind == "banded":
+        return generate.banded(m, m, 4, dtype=dtype, seed=7)
+    if kind == "uniform":
+        return generate.random_uniform(m, m, 40, dtype=dtype, seed=42)
+    if kind == "powerlaw":
+        return generate.power_law(m, m, 40 * m, dtype=dtype, seed=2)
+    raise ValueError(kind)
+
+
+def load_any(spec: str, dtype=np.float32) -> tuple:
+    """'builtin:<name>' or a MatrixMarket path → (display_name, CsrMatrix)."""
+    if spec.startswith("builtin:"):
+        name = spec.split(":", 1)[1]
+        return name, BUILTIN_MATRICES[name](dtype)
+    from ..io.mmio import load_matrix
+    return spec, load_matrix(spec, dtype=dtype)
+
+
+def _rmse(y: np.ndarray, golden: np.ndarray) -> float:
+    """Reference RMSE (test_spmv.c:138-145): sqrt(mean((y-ŷ)²))."""
+    d = y.astype(np.float64) - golden.astype(np.float64)
+    return float(np.sqrt(np.mean(d * d))) if d.size else 0.0
+
+
+def _row(matrix, method_name, vec_name, threads, nnz, rmse, predeal_ms,
+         avg_ms, gflops_avg, gflops_best) -> str:
+    return (f"{matrix},{method_name},{vec_name},{threads},{nnz},"
+            f"{rmse:.6g},{predeal_ms:.3f},{avg_ms:.6f},"
+            f"{gflops_avg:.6f},{gflops_best:.6f}")
+
+
+def bench_matrix(name: str, a: CsrMatrix,
+                 methods: Iterable[Method],
+                 iters: int = 10, repeats: int = 2,
+                 external: bool = False,
+                 out=sys.stdout) -> List[str]:
+    """Bench one matrix across methods; print + return CSV rows."""
+    import jax
+    import jax.numpy as jnp
+    from ..handle import create_handle
+
+    if a.m != a.n:
+        raise ValueError("suite requires square matrices (chained timing); "
+                         "the reference harness also only feeds square mtx")
+    x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
+    golden = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    xj = jnp.asarray(x)
+    threads = len(jax.devices())
+    rows = []
+
+    for method in methods:
+        t0 = time.perf_counter()
+        try:
+            h = create_handle(a, method=method)
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            print(f"# {name},{METHOD_NAMES[Method(method)]}: "
+                  f"handle failed: {e}", file=out, flush=True)
+            continue
+        predeal_ms = (time.perf_counter() - t0) * 1e3
+        y = np.asarray(h._bound(xj))
+        rmse = _rmse(y, golden)
+        dts = [time_spmv(h._bound, xj, iters=iters, repeats=1)
+               for _ in range(repeats)]
+        avg, best = float(np.mean(dts)), float(np.min(dts))
+        row = _row(name, h.method_name, VECTORIZED_NAMES[h.vectorized],
+                   threads, a.nnz, rmse, predeal_ms, avg * 1e3,
+                   2 * a.nnz / avg / 1e9, 2 * a.nnz / best / 1e9)
+        print(row, file=out, flush=True)
+        rows.append(row)
+
+    if external:
+        rows += _external_baselines(name, a, x, golden, iters, out)
+    return rows
+
+
+def _external_baselines(name, a, x, golden, iters, out) -> List[str]:
+    """ScipyCsr (host CPU) and JaxBcoo (device) — the MKL-bench role."""
+    rows = []
+    try:
+        import scipy.sparse as sp
+        s = sp.csr_matrix((a.vals, a.colidx, a.rowptr), shape=(a.m, a.n))
+        t0 = time.perf_counter()
+        n_it = max(3, iters)
+        for _ in range(n_it):
+            y = s @ x
+        dt = (time.perf_counter() - t0) / n_it
+        rows.append(_row(name, "ScipyCsr", "VECTOR_NONE", 1, a.nnz,
+                         _rmse(y, golden), 0.0, dt * 1e3,
+                         2 * a.nnz / dt / 1e9, 2 * a.nnz / dt / 1e9))
+        print(rows[-1], file=out, flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"# ScipyCsr failed: {e}", file=out, flush=True)
+    try:
+        import jax.numpy as jnp
+        from jax.experimental import sparse as jsparse
+        t0 = time.perf_counter()
+        bcoo = jsparse.BCOO.fromdense(jnp.zeros(0)) if False else \
+            jsparse.BCOO((jnp.asarray(a.vals),
+                          jnp.stack([jnp.asarray(
+                              np.repeat(np.arange(a.m, dtype=np.int32),
+                                        a.row_lengths)),
+                              jnp.asarray(a.colidx)], axis=1)),
+                         shape=(a.m, a.n))
+        predeal_ms = (time.perf_counter() - t0) * 1e3
+        fn = lambda xx: bcoo @ xx
+        y = np.asarray(fn(jnp.asarray(x)))
+        dt = time_spmv(fn, jnp.asarray(x), iters=max(3, iters // 2),
+                       repeats=1)
+        rows.append(_row(name, "JaxBcoo", "VECTOR_NONE", 1, a.nnz,
+                         _rmse(y, golden), predeal_ms, dt * 1e3,
+                         2 * a.nnz / dt / 1e9, 2 * a.nnz / dt / 1e9))
+        print(rows[-1], file=out, flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"# JaxBcoo failed: {e}", file=out, flush=True)
+    return rows
+
+
+_DEFAULT_METHODS = [Method.SERIAL, Method.PARALLEL, Method.BALANCED,
+                    Method.BALANCED2, Method.BALANCED_YID,
+                    Method.SELL_C_SIGMA, Method.CSR5, Method.AUTO]
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("matrices", nargs="+",
+                   help="builtin:<name> or MatrixMarket paths")
+    p.add_argument("--methods", default="AUTO",
+                   help="comma list of Method names, or 'all'")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--external", action="store_true",
+                   help="also run ScipyCsr/JaxBcoo baselines")
+    args = p.parse_args(argv)
+
+    if args.dtype == "bfloat16":
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16
+    else:
+        dtype = np.dtype(args.dtype)
+    if args.methods == "all":
+        methods = list(_DEFAULT_METHODS)
+    else:
+        methods = [Method[m.strip().upper()]
+                   for m in args.methods.split(",")]
+
+    print(CSV_HEADER, flush=True)
+    for spec in args.matrices:
+        name, a = load_any(spec, dtype=dtype)
+        bench_matrix(name, a, methods, iters=args.iters,
+                     repeats=args.repeats, external=args.external)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
