@@ -1,0 +1,210 @@
+"""SELL-8W: the windowed-gather SELL format for the Pallas kernel.
+
+The Mosaic TPU compiler only lowers gathers on exact (8,128) tiles
+(PERFNOTES.md), so a kernel tile can read an arbitrary aligned 1024-element
+x-window — ``x2[8w:8w+8, :]`` of ``x2 = x.reshape(-1, 128)`` — through the
+two-stage gather ``take_along_axis(take_along_axis(win, sidx, 0), ridx, 1)``.
+This module packs a CSR matrix into the tile stream that kernel consumes:
+
+* slices of 128 rows (rows = lanes, natural order — no σ-sort, so the output
+  needs no inverse permutation);
+* each tile (8, 128) holds ≤ 8 nonzeros per lane, all with columns inside
+  ONE window ``w``;
+* slot assignment must satisfy the gather-consistency constraint: within a
+  sublane row ``i``, every slot with residue ``r`` must read the same window
+  sub-row ``s`` (because the first gather builds ``t1[i, l] =
+  win[sidx[i, l], l]`` — one ``s`` per (sublane, residue));
+* per-slot metadata packs (s, r) into one int16: ``s << 7 | r``.
+
+Tiles are emitted slice-major (all tiles of slice 0, then slice 1, …) so the
+kernel can accumulate per-slice output blocks.  Padding slots have value 0
+and point at (s=0, r=0) — gathered garbage × 0 = 0.
+
+The per-element greedy placement is the pack-time analog of the reference's
+SELL σ-window sort + tile pack (sell_C_Sigma_spmv.c:141-247), with the
+sorting objective replaced by window-locality (which the reorder layer
+optimizes, formats/reorder.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..types import CsrMatrix, INT_DTYPE
+
+__all__ = ["Sell8W", "pack_sell8w", "estimate_sell8w_tiles"]
+
+LANES = 128
+SUB = 8
+WINDOW = 1024          # = SUB * LANES, one (8,128) block of x2
+
+
+@dataclasses.dataclass(frozen=True)
+class Sell8W:
+    m: int
+    n: int
+    nnz_stored: int
+    nslices: int           # ceil(m / 128)
+    ntiles: int
+    window_ids: np.ndarray   # (ntiles,) int32 — x2 block row (w) per tile
+    slice_ids: np.ndarray    # (ntiles,) int32 — owning slice, non-decreasing
+    meta: np.ndarray         # (ntiles, 8, 128) int16 — s<<7 | r per slot
+    vals: np.ndarray         # (ntiles, 8, 128) float32
+
+    @property
+    def pad_ratio(self) -> float:
+        return self.ntiles * WINDOW / max(self.nnz_stored, 1)
+
+
+def estimate_sell8w_tiles(a: CsrMatrix) -> int:
+    """Cheap lower-bound tile count (no consistency conflicts accounted):
+    per (slice, window): max(ceil(max-lane-count/8), ceil(total/1024))."""
+    if a.nnz == 0:
+        return 0
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    sl = rows // LANES
+    w = a.colidx.astype(np.int64) // WINDOW
+    lane = rows % LANES
+    # group by (slice, window): need per-lane counts
+    key_sw = sl * (a.n // WINDOW + 2) + w
+    key_swl = key_sw * LANES + lane
+    _, lane_counts = np.unique(key_swl, return_counts=True)
+    # per (s,w): max lane count and total — recompute via sort
+    order = np.argsort(key_sw, kind="stable")
+    ks = key_sw[order]
+    boundaries = np.nonzero(np.diff(ks))[0] + 1
+    groups = np.split(np.arange(len(ks)), boundaries)
+    total = 0
+    kl = key_swl[order]
+    for g in groups:
+        tot = len(g)
+        _, c = np.unique(kl[g], return_counts=True)
+        total += max(-(-int(c.max()) // SUB), -(-tot // WINDOW))
+    return total
+
+
+def pack_sell8w(a: CsrMatrix, max_pad_ratio: Optional[float] = None,
+                use_native: bool = True) -> Sell8W:
+    """Greedy tile packing.  Raises ValueError if the padding would exceed
+    ``max_pad_ratio`` (the handle falls back to an XLA plan then).
+
+    Uses the C++ packer (native/spmv_native.cpp) when available — same
+    greedy, ~30× faster on multi-million-nnz matrices — else pure numpy.
+    """
+    nslices = max(-(-a.m // LANES), 1)
+    if max_pad_ratio is not None and a.nnz:
+        est = estimate_sell8w_tiles(a)
+        if est * WINDOW / a.nnz > max_pad_ratio:
+            raise ValueError(
+                f"sell8w padding estimate {est * WINDOW / a.nnz:.2f} exceeds "
+                f"max_pad_ratio={max_pad_ratio}")
+    if use_native:
+        from ..native import pack_sell8w_native
+        packed = pack_sell8w_native(a.m, a.n, a.rowptr, a.colidx, a.vals)
+        if packed is not None:
+            window_ids, slice_ids, meta, vtiles = packed
+            out = Sell8W(m=a.m, n=a.n, nnz_stored=a.nnz, nslices=nslices,
+                         ntiles=len(window_ids), window_ids=window_ids,
+                         slice_ids=slice_ids, meta=meta, vals=vtiles)
+            if (max_pad_ratio is not None and a.nnz
+                    and out.pad_ratio > max_pad_ratio):
+                raise ValueError(
+                    f"sell8w pad_ratio {out.pad_ratio:.2f} exceeds "
+                    f"max_pad_ratio={max_pad_ratio}")
+            return out
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    cols = a.colidx.astype(np.int64)
+    lane = (rows % LANES).astype(np.int32)
+    sl = (rows // LANES).astype(np.int32)
+    w = (cols // WINDOW).astype(np.int32)
+    s_in = ((cols % WINDOW) // LANES).astype(np.int8)
+    r_in = (cols % LANES).astype(np.int8)
+    vals = a.vals.astype(np.float32)
+
+    # order elements by (slice, window) with stable lane grouping
+    order = np.lexsort((lane, w, sl))
+    sl, w, lane, s_in, r_in, vals = (arr[order] for arr in
+                                     (sl, w, lane, s_in, r_in, vals))
+
+    tiles_w, tiles_s, tiles_meta, tiles_vals = [], [], [], []
+    # group boundaries over (slice, window)
+    if a.nnz:
+        key = sl.astype(np.int64) * (int(w.max()) + 2) + w
+        bounds = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1,
+                                 [len(key)]])
+    else:
+        bounds = np.array([0])
+
+    for b in range(len(bounds) - 1):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        g_lane = lane[lo:hi]
+        g_s = s_in[lo:hi]
+        g_r = r_in[lo:hi]
+        g_v = vals[lo:hi]
+        pending = list(range(hi - lo))
+        while pending:
+            # Two channels share the int16 tile but use DIFFERENT layouts —
+            # exactly how the kernel reads them (ops/pallas_sell.py):
+            #   low 7 bits at slot (i, j)      = element j-in-sublane-i's
+            #                                    residue r (take_along dim1);
+            #   high bits at slot (i, l)       = staging row s for RESIDUE l
+            #                                    in sublane i (take_along
+            #                                    dim0 runs BEFORE dim1, so
+            #                                    its index is per-residue).
+            rslot = np.zeros((SUB, LANES), dtype=np.int16)
+            vtile = np.zeros((SUB, LANES), dtype=np.float32)
+            # per (sublane, residue) assigned s; -1 = unset
+            stab = np.full((SUB, LANES), -1, dtype=np.int16)
+            lane_used = np.zeros((SUB, LANES), dtype=bool)
+            overflow = []
+            for e in pending:
+                j, s_e, r_e = int(g_lane[e]), int(g_s[e]), int(g_r[e])
+                for i in range(SUB):
+                    if not lane_used[i, j] and stab[i, r_e] in (-1, s_e):
+                        lane_used[i, j] = True
+                        stab[i, r_e] = s_e
+                        rslot[i, j] = r_e
+                        vtile[i, j] = g_v[e]
+                        break
+                else:
+                    overflow.append(e)
+            meta = (np.maximum(stab, 0) << 7) | rslot
+            tiles_w.append(w[lo])
+            tiles_s.append(sl[lo])
+            tiles_meta.append(meta.astype(np.int16))
+            tiles_vals.append(vtile)
+            pending = overflow
+
+    # Every slice-GROUP (8 slices = one kernel output block) must own at
+    # least one tile, else its output block is never zero-initialized by the
+    # kernel.  Insert zero tiles for uncovered groups, keeping slice-major
+    # order (the kernel requires non-decreasing slice ids).
+    ngroups = -(-nslices // SUB)
+    covered = {int(s) // SUB for s in tiles_s}
+    for g in range(ngroups):
+        if g not in covered:
+            tiles_w.append(0)
+            tiles_s.append(g * SUB)
+            tiles_meta.append(np.zeros((SUB, LANES), np.int16))
+            tiles_vals.append(np.zeros((SUB, LANES), np.float32))
+    order_t = np.argsort(np.asarray(tiles_s), kind="stable")
+    tiles_w = [tiles_w[i] for i in order_t]
+    tiles_s = [tiles_s[i] for i in order_t]
+    tiles_meta = [tiles_meta[i] for i in order_t]
+    tiles_vals = [tiles_vals[i] for i in order_t]
+    ntiles = len(tiles_meta)
+
+    out = Sell8W(
+        m=a.m, n=a.n, nnz_stored=a.nnz, nslices=nslices, ntiles=ntiles,
+        window_ids=np.asarray(tiles_w, dtype=INT_DTYPE),
+        slice_ids=np.asarray(tiles_s, dtype=INT_DTYPE),
+        meta=np.stack(tiles_meta),
+        vals=np.stack(tiles_vals),
+    )
+    if max_pad_ratio is not None and a.nnz and out.pad_ratio > max_pad_ratio:
+        raise ValueError(f"sell8w pad_ratio {out.pad_ratio:.2f} exceeds "
+                         f"max_pad_ratio={max_pad_ratio}")
+    return out

@@ -160,8 +160,24 @@ def _tile_for(nnz: int, nthreads: int, method: Method) -> int:
     return base
 
 
-def _build_plan(a: CsrMatrix, method: Method, nthreads: int) -> Dict[str, Any]:
+def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
+                vectorized: VectorizedWay = VectorizedWay.VPU
+                ) -> Dict[str, Any]:
     dev = jax.device_put
+    if (method == Method.SELL_C_SIGMA
+            and vectorized != VectorizedWay.NONE
+            and np.dtype(a.dtype) == np.float32
+            and jax.default_backend() == "tpu"):
+        # Pallas windowed-gather kernel (ops/pallas_sell.py) — the VPU path,
+        # analog of the reference's AVX2 line-product kernels.  Falls back
+        # to the XLA chunked plan when window-locality padding explodes
+        # (scattered random matrices; the reorder layer shrinks it).
+        from .formats import sell8w as sell8w_fmt
+        try:
+            packed = sell8w_fmt.pack_sell8w(a, max_pad_ratio=3.0)
+            return {"sell8w": packed, "pad_ratio": packed.pad_ratio}
+        except ValueError:
+            pass  # fall through to the XLA plan
     if method == Method.SERIAL:
         return {
             "rows": dev(partition.row_ids(a)),
@@ -211,6 +227,9 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     """
     p = plan
     m = method
+    if "sell8w" in p:
+        from .ops.pallas_sell import build_sell8w_fn
+        return build_sell8w_fn(p["sell8w"])
     if m == Method.SERIAL:
         return lambda x: _exec_serial(p["rows"], p["colidx"], p["vals"], x,
                                       m_rows)
@@ -252,7 +271,7 @@ def create_handle(a: CsrMatrix,
     if requested == Method.AUTO:
         from .inspector import choose_method
         resolved = choose_method(a)
-    plan = _build_plan(a, resolved, nthreads)
+    plan = _build_plan(a, resolved, nthreads, VectorizedWay(vectorized))
     h = SpmvHandle(
         method=resolved, requested_method=requested,
         dtype=np.dtype(a.dtype) if a.dtype != jnp.bfloat16 else a.dtype,

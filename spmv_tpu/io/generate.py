@@ -113,3 +113,20 @@ def with_empty_rows(base: CsrMatrix, empty_fraction: float = 0.3,
     mask = np.repeat(keep, base.row_lengths)
     return CsrMatrix(base.m, base.n, rowptr.astype(INT_DTYPE),
                      base.colidx[mask], base.vals[mask])
+
+
+def clustered(m: int, n: int, nnz_per_row: int = 32, spread: int = 512,
+              dtype=np.float64, seed: int = 0, exact: bool = True) -> CsrMatrix:
+    """Locality-rich random matrix: row i's columns within ±spread of the
+    diagonal position — the regime the Pallas windowed kernel (SELL-8W) and
+    the reorder layer target (cols cluster into few 1024-wide x-windows)."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m, dtype=np.int64),
+                     rng.poisson(nnz_per_row, size=m).clip(0, 2 * spread))
+    center = (rows * n) // max(m, 1)
+    cols = center + rng.integers(-spread, spread + 1, size=rows.size)
+    cols = np.clip(cols, 0, n - 1)
+    vals = exact_values(rng, rows.size, dtype) if exact else \
+        rng.standard_normal(rows.size).astype(dtype)
+    return CsrMatrix.from_coo(m, n, rows.astype(INT_DTYPE),
+                              cols.astype(INT_DTYPE), vals)

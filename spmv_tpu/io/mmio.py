@@ -24,8 +24,23 @@ __all__ = ["read_mtx", "write_mtx", "load_matrix", "cache_path"]
 _CACHE_DIR = "mtx_cache"  # same directory name as the reference
 
 
-def read_mtx(path: str, dtype=np.float64) -> CsrMatrix:
-    """Parse a MatrixMarket file into CSR (no cache)."""
+def read_mtx(path: str, dtype=np.float64, use_native: bool = True) -> CsrMatrix:
+    """Parse a MatrixMarket file into CSR (no cache).
+
+    Coordinate files go through the C++ parser (native/spmv_native.cpp,
+    ~10× faster than the numpy text path — the reference's loader is native
+    C too, mmio_highlevel.h); array files and fallback use pure Python.
+    """
+    if use_native:
+        from ..native import parse_mtx
+        try:
+            parsed = parse_mtx(path)
+        except Exception:  # noqa: BLE001 — fall back to python path
+            parsed = None
+        if parsed is not None:
+            m, n, rows, cols, vals = parsed
+            return CsrMatrix.from_coo(m, n, rows, cols, vals.astype(dtype),
+                                      sum_duplicates=True)
     with open(path, "r") as f:
         header = f.readline()
         m_hdr = re.match(

@@ -1,0 +1,135 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference's I/O layer and format preprocessing are native C/C++
+(src/samples/mmio_highlevel.h, src/src_spmv/*.c); this package holds the TPU
+framework's native equivalents — a fast MatrixMarket parser and the SELL-8W
+greedy packer — compiled on first use with the system toolchain (g++; the
+image has no pybind11, so the ABI is plain C + ctypes).
+
+Everything degrades gracefully: if compilation fails, callers fall back to
+the pure-Python implementations (io/mmio.py, formats/sell8w.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["load_native", "native_available", "parse_mtx", "pack_sell8w_native"]
+
+_SRC = os.path.join(os.path.dirname(__file__), "spmv_native.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "_spmv_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        return res.returncode == 0 and os.path.exists(_SO)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        c = ctypes
+        lib.mtx_parse.restype = c.c_void_p
+        lib.mtx_parse.argtypes = [c.c_char_p, c.POINTER(c.c_int)]
+        lib.mtx_m.restype = c.c_int64
+        lib.mtx_m.argtypes = [c.c_void_p]
+        lib.mtx_n.restype = c.c_int64
+        lib.mtx_n.argtypes = [c.c_void_p]
+        lib.mtx_nnz.restype = c.c_int64
+        lib.mtx_nnz.argtypes = [c.c_void_p]
+        lib.mtx_copy.restype = None
+        lib.mtx_copy.argtypes = [c.c_void_p] + [np.ctypeslib.ndpointer(d)
+                                                for d in (np.int32, np.int32,
+                                                          np.float64)]
+        lib.mtx_free.restype = None
+        lib.mtx_free.argtypes = [c.c_void_p]
+        lib.sell8w_pack.restype = c.c_void_p
+        lib.sell8w_pack.argtypes = [
+            c.c_int64, c.c_int64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            c.POINTER(c.c_int64)]
+        lib.sell8w_copy.restype = None
+        lib.sell8w_copy.argtypes = [c.c_void_p] + [
+            np.ctypeslib.ndpointer(d) for d in (np.int32, np.int32,
+                                                np.int16, np.float32)]
+        lib.sell8w_free.restype = None
+        lib.sell8w_free.argtypes = [c.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def parse_mtx(path: str):
+    """(m, n, rows, cols, vals) COO with symmetry expanded, or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    err = ctypes.c_int(0)
+    h = lib.mtx_parse(path.encode(), ctypes.byref(err))
+    if not h:
+        return None
+    try:
+        m, n, nnz = lib.mtx_m(h), lib.mtx_n(h), lib.mtx_nnz(h)
+        rows = np.empty(nnz, np.int32)
+        cols = np.empty(nnz, np.int32)
+        vals = np.empty(nnz, np.float64)
+        lib.mtx_copy(h, rows, cols, vals)
+        return int(m), int(n), rows, cols, vals
+    finally:
+        lib.mtx_free(h)
+
+
+def pack_sell8w_native(m: int, n: int, rowptr: np.ndarray,
+                       colidx: np.ndarray, vals: np.ndarray):
+    """(window_ids, slice_ids, meta, vals_tiles) or None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, np.int32)
+    colidx = np.ascontiguousarray(colidx, np.int32)
+    vals32 = np.ascontiguousarray(vals, np.float32)
+    ntiles = ctypes.c_int64(0)
+    h = lib.sell8w_pack(m, n, rowptr, colidx, vals32, ctypes.byref(ntiles))
+    if not h:
+        return None
+    try:
+        t = int(ntiles.value)
+        window_ids = np.empty(t, np.int32)
+        slice_ids = np.empty(t, np.int32)
+        meta = np.empty(t * 8 * 128, np.int16)
+        vtiles = np.empty(t * 8 * 128, np.float32)
+        lib.sell8w_copy(h, window_ids, slice_ids, meta, vtiles)
+        return (window_ids, slice_ids, meta.reshape(t, 8, 128),
+                vtiles.reshape(t, 8, 128))
+    finally:
+        lib.sell8w_free(h)

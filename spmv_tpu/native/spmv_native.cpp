@@ -1,0 +1,292 @@
+// Native runtime components for spmv_tpu (C++17, no external deps).
+//
+// The reference implements its I/O layer and format preprocessing in native
+// C/C++ (src/samples/mmio_highlevel.h, src/src_spmv/sell_C_Sigma_spmv.c);
+// these are the TPU framework's equivalents for the two host-side paths
+// where Python is measurably the bottleneck:
+//
+//   1. MatrixMarket coordinate parsing (mmio_highlevel.h:325-491 role):
+//      ~10x faster than numpy.loadtxt on multi-million-line files.
+//   2. The SELL-8W greedy tile packer (ops/pallas_sell.py consumes its
+//      output): a per-nonzero constraint-placement loop that CPython runs
+//      ~30x slower.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int kSub = 8;
+constexpr int kLanes = 128;
+constexpr int kWindow = kSub * kLanes;  // 1024
+
+struct CooBuffer {
+  int64_t m = 0, n = 0, nnz = 0;
+  std::vector<int32_t> rows, cols;
+  std::vector<double> vals;
+};
+
+struct TileBuffer {
+  std::vector<int32_t> window_ids, slice_ids;
+  std::vector<int16_t> meta;   // ntiles * 8 * 128
+  std::vector<float> vals;     // ntiles * 8 * 128
+};
+
+// Fast ASCII parsing helpers (strtod/strtol with manual whitespace skip).
+inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+    ++p;
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// MatrixMarket coordinate parser.
+// Returns a handle (opaque pointer) or nullptr on failure.  Symmetry
+// expansion (general=0, symmetric=1, skew=2) happens here, mirroring
+// mmio_highlevel.h:439-463.  field: real/integer/pattern/complex(real part).
+// ---------------------------------------------------------------------------
+void* mtx_parse(const char* path, int* err) {
+  *err = 0;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) { *err = 1; return nullptr; }
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(static_cast<size_t>(fsize) + 1);
+  if (std::fread(buf.data(), 1, fsize, f) != static_cast<size_t>(fsize)) {
+    std::fclose(f); *err = 2; return nullptr;
+  }
+  std::fclose(f);
+  buf[fsize] = '\0';
+  const char* p = buf.data();
+  const char* end = buf.data() + fsize;
+
+  // banner
+  int pattern = 0, complex_field = 0, symmetry = 0;  // 0 gen, 1 sym, 2 skew
+  {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!nl || std::strncmp(p, "%%MatrixMarket", 14) != 0) {
+      *err = 3; return nullptr;
+    }
+    std::string banner(p, nl);
+    for (auto& c : banner) c = static_cast<char>(std::tolower(c));
+    if (banner.find("coordinate") == std::string::npos) { *err = 4; return nullptr; }
+    if (banner.find("pattern") != std::string::npos) pattern = 1;
+    if (banner.find("complex") != std::string::npos) complex_field = 1;
+    if (banner.find("skew-symmetric") != std::string::npos) symmetry = 2;
+    else if (banner.find("symmetric") != std::string::npos ||
+             banner.find("hermitian") != std::string::npos) symmetry = 1;
+    p = nl + 1;
+  }
+  // comments
+  while (p < end && *p == '%') {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!nl) { *err = 5; return nullptr; }
+    p = nl + 1;
+  }
+  char* q = nullptr;
+  long m = std::strtol(p, &q, 10); p = q;
+  long n = std::strtol(p, &q, 10); p = q;
+  long nnz = std::strtol(p, &q, 10); p = q;
+  if (m <= 0 || n <= 0 || nnz < 0) { *err = 6; return nullptr; }
+
+  auto* coo = new CooBuffer();
+  coo->m = m; coo->n = n;
+  size_t cap = static_cast<size_t>(nnz) * (symmetry ? 2 : 1);
+  coo->rows.reserve(cap); coo->cols.reserve(cap); coo->vals.reserve(cap);
+  for (long k = 0; k < nnz; ++k) {
+    p = skip_ws(p, end);
+    if (p >= end) { delete coo; *err = 7; return nullptr; }
+    long r = std::strtol(p, &q, 10); p = q;
+    long c = std::strtol(p, &q, 10); p = q;
+    double v = 1.0;
+    if (!pattern) { v = std::strtod(p, &q); p = q; }
+    if (complex_field) { std::strtod(p, &q); p = q; }  // skip imaginary
+    --r; --c;
+    if (r < 0 || r >= m || c < 0 || c >= n) { delete coo; *err = 8; return nullptr; }
+    coo->rows.push_back(static_cast<int32_t>(r));
+    coo->cols.push_back(static_cast<int32_t>(c));
+    coo->vals.push_back(v);
+    if (symmetry && r != c) {
+      coo->rows.push_back(static_cast<int32_t>(c));
+      coo->cols.push_back(static_cast<int32_t>(r));
+      coo->vals.push_back(symmetry == 2 ? -v : v);
+    }
+  }
+  coo->nnz = static_cast<int64_t>(coo->rows.size());
+  return coo;
+}
+
+int64_t mtx_m(void* h) { return static_cast<CooBuffer*>(h)->m; }
+int64_t mtx_n(void* h) { return static_cast<CooBuffer*>(h)->n; }
+int64_t mtx_nnz(void* h) { return static_cast<CooBuffer*>(h)->nnz; }
+
+void mtx_copy(void* h, int32_t* rows, int32_t* cols, double* vals) {
+  auto* coo = static_cast<CooBuffer*>(h);
+  std::memcpy(rows, coo->rows.data(), coo->rows.size() * sizeof(int32_t));
+  std::memcpy(cols, coo->cols.data(), coo->cols.size() * sizeof(int32_t));
+  std::memcpy(vals, coo->vals.data(), coo->vals.size() * sizeof(double));
+}
+
+void mtx_free(void* h) { delete static_cast<CooBuffer*>(h); }
+
+// ---------------------------------------------------------------------------
+// SELL-8W greedy packer (see formats/sell8w.py for the format contract).
+// Input: CSR (rowptr int32[m+1], colidx int32[nnz], vals float[nnz]).
+// Elements must be processed grouped by (slice, window) with lanes
+// interleaved — this function does the grouping itself.
+// Returns a handle; copy out via sell8w_copy, free via sell8w_free.
+// ---------------------------------------------------------------------------
+void* sell8w_pack(int64_t m, int64_t n, const int32_t* rowptr,
+                  const int32_t* colidx, const float* vals,
+                  int64_t* ntiles_out) {
+  int64_t nslices = m > 0 ? (m + kLanes - 1) / kLanes : 1;
+  int64_t nnz = rowptr[m];
+  // bucket elements by (slice, window)
+  struct Elem { int32_t lane; int8_t s; int8_t r; float v; };
+  // two-pass counting sort over key = slice * nwin + window
+  int64_t nwin = (n + kWindow - 1) / kWindow + 1;
+  std::vector<int64_t> counts(static_cast<size_t>(nslices * nwin) + 1, 0);
+  for (int64_t row = 0; row < m; ++row) {
+    int64_t sl = row / kLanes;
+    for (int32_t k = rowptr[row]; k < rowptr[row + 1]; ++k) {
+      ++counts[sl * nwin + colidx[k] / kWindow + 1];
+    }
+  }
+  for (size_t i = 1; i < counts.size(); ++i) counts[i] += counts[i - 1];
+  std::vector<Elem> elems(static_cast<size_t>(nnz));
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t row = 0; row < m; ++row) {
+    int64_t sl = row / kLanes;
+    int32_t lane = static_cast<int32_t>(row % kLanes);
+    for (int32_t k = rowptr[row]; k < rowptr[row + 1]; ++k) {
+      int32_t c = colidx[k];
+      int64_t key = sl * nwin + c / kWindow;
+      Elem& e = elems[static_cast<size_t>(cursor[key]++)];
+      e.lane = lane;
+      e.s = static_cast<int8_t>((c % kWindow) / kLanes);
+      e.r = static_cast<int8_t>(c % kLanes);
+      e.v = vals[k];
+    }
+  }
+
+  auto* tb = new TileBuffer();
+  std::vector<int16_t> stab(kSub * kLanes);
+  std::vector<int16_t> rslot(kSub * kLanes);
+  std::vector<float> vtile(kSub * kLanes);
+  std::vector<uint8_t> lane_used(kSub * kLanes);
+  std::vector<int32_t> pending, overflow;
+
+  for (int64_t sl = 0; sl < nslices; ++sl) {
+    for (int64_t wdx = 0; wdx < nwin; ++wdx) {
+      int64_t lo = counts[sl * nwin + wdx];
+      int64_t hi = counts[sl * nwin + wdx + 1];
+      if (lo >= hi) continue;
+      pending.clear();
+      for (int64_t k = lo; k < hi; ++k)
+        pending.push_back(static_cast<int32_t>(k));
+      while (!pending.empty()) {
+        std::fill(stab.begin(), stab.end(), static_cast<int16_t>(-1));
+        std::fill(rslot.begin(), rslot.end(), static_cast<int16_t>(0));
+        std::fill(vtile.begin(), vtile.end(), 0.0f);
+        std::fill(lane_used.begin(), lane_used.end(), 0);
+        overflow.clear();
+        for (int32_t ei : pending) {
+          const Elem& e = elems[static_cast<size_t>(ei)];
+          bool placed = false;
+          for (int i = 0; i < kSub; ++i) {
+            int16_t& st = stab[i * kLanes + e.r];
+            if (!lane_used[i * kLanes + e.lane] && (st == -1 || st == e.s)) {
+              lane_used[i * kLanes + e.lane] = 1;
+              st = e.s;
+              rslot[i * kLanes + e.lane] = e.r;
+              vtile[i * kLanes + e.lane] = e.v;
+              placed = true;
+              break;
+            }
+          }
+          if (!placed) overflow.push_back(ei);
+        }
+        tb->window_ids.push_back(static_cast<int32_t>(wdx));
+        tb->slice_ids.push_back(static_cast<int32_t>(sl));
+        size_t base = tb->meta.size();
+        tb->meta.resize(base + kSub * kLanes);
+        tb->vals.resize(base + kSub * kLanes);
+        for (int i = 0; i < kSub * kLanes; ++i) {
+          int16_t st = stab[i] < 0 ? 0 : stab[i];
+          tb->meta[base + i] =
+              static_cast<int16_t>((st << 7) | rslot[i]);
+          tb->vals[base + i] = vtile[i];
+        }
+        pending.swap(overflow);
+      }
+    }
+  }
+
+  // cover every slice-group with at least one tile (kernel zero-init rule);
+  // tiles are already slice-major so group coverage insertion keeps order
+  // by rebuilding with merge.
+  int64_t ngroups = (nslices + kSub - 1) / kSub;
+  std::vector<uint8_t> covered(static_cast<size_t>(ngroups), 0);
+  for (int32_t s : tb->slice_ids) covered[static_cast<size_t>(s / kSub)] = 1;
+  bool need = false;
+  for (auto c : covered) if (!c) { need = true; break; }
+  if (need) {
+    TileBuffer merged;
+    size_t ti = 0;
+    for (int64_t g = 0; g < ngroups; ++g) {
+      if (!covered[static_cast<size_t>(g)]) {
+        merged.window_ids.push_back(0);
+        merged.slice_ids.push_back(static_cast<int32_t>(g * kSub));
+        merged.meta.insert(merged.meta.end(), kSub * kLanes, 0);
+        merged.vals.insert(merged.vals.end(), kSub * kLanes, 0.0f);
+      }
+      while (ti < tb->slice_ids.size() &&
+             tb->slice_ids[ti] / kSub == g) {
+        merged.window_ids.push_back(tb->window_ids[ti]);
+        merged.slice_ids.push_back(tb->slice_ids[ti]);
+        size_t off = ti * kSub * kLanes;
+        merged.meta.insert(merged.meta.end(), tb->meta.begin() + off,
+                           tb->meta.begin() + off + kSub * kLanes);
+        merged.vals.insert(merged.vals.end(), tb->vals.begin() + off,
+                           tb->vals.begin() + off + kSub * kLanes);
+        ++ti;
+      }
+    }
+    *tb = std::move(merged);
+  }
+  if (tb->slice_ids.empty()) {
+    tb->window_ids.push_back(0);
+    tb->slice_ids.push_back(0);
+    tb->meta.insert(tb->meta.end(), kSub * kLanes, 0);
+    tb->vals.insert(tb->vals.end(), kSub * kLanes, 0.0f);
+  }
+  *ntiles_out = static_cast<int64_t>(tb->slice_ids.size());
+  return tb;
+}
+
+void sell8w_copy(void* h, int32_t* window_ids, int32_t* slice_ids,
+                 int16_t* meta, float* vals) {
+  auto* tb = static_cast<TileBuffer*>(h);
+  std::memcpy(window_ids, tb->window_ids.data(),
+              tb->window_ids.size() * sizeof(int32_t));
+  std::memcpy(slice_ids, tb->slice_ids.data(),
+              tb->slice_ids.size() * sizeof(int32_t));
+  std::memcpy(meta, tb->meta.data(), tb->meta.size() * sizeof(int16_t));
+  std::memcpy(vals, tb->vals.data(), tb->vals.size() * sizeof(float));
+}
+
+void sell8w_free(void* h) { delete static_cast<TileBuffer*>(h); }
+
+}  // extern "C"

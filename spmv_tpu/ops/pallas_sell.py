@@ -1,0 +1,115 @@
+"""Pallas TPU kernel for the SELL-8W format — the framework's hot kernel.
+
+This is the TPU-native analog of the reference's AVX2 line-product
+microkernels (``basic_*_lineProductGather_avx2``, inner_spmv.h:411-477): one
+(8,128) tile = 8 nonzeros × 128 rows, gathered from a 1024-element x-window
+and FMA-accumulated into per-slice lane sums.
+
+Kernel structure (see PERFNOTES.md for the measured design constraints):
+
+* grid = one step per tile; the x-window arrives as an (8,128) block of
+  ``x2 = x.reshape(-1, 128)`` selected by a **scalar-prefetched** window id
+  through the BlockSpec index_map — the only way Mosaic reaches a
+  data-dependent x region at full DMA speed;
+* the gather is ``take_along_axis`` dim0 ∘ dim1 on the (8,128) window — the
+  only gather shapes Mosaic lowers — with both indices unpacked from one
+  int16 per slot (``s << 7 | r``);
+* output blocks cover 8 slices (8 × 128 rows); consecutive tiles of the same
+  slice-group accumulate into the same VMEM-resident block, zero-initialized
+  on first touch (block-revisit accumulation, like a matmul K-loop);
+* measured co-timed: this kernel runs at the same rate as a gather-free
+  streaming kernel — the gathers are free, traffic (6 B/nnz·pad) is the cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.sell8w import Sell8W, LANES, SUB, WINDOW
+
+__all__ = ["build_sell8w_fn", "sell8w_spmv"]
+
+
+def _kernel(w_ref, group_ref, row_ref, first_ref, xwin_ref, meta_ref,
+            vals_ref, out_ref):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    m = meta_ref[0].astype(jnp.int32)
+    t1 = jnp.take_along_axis(xwin_ref[:], m >> 7, axis=0)
+    xg = jnp.take_along_axis(t1, m & 127, axis=1)
+    contrib = jnp.sum(vals_ref[0] * xg, axis=0)          # (128,) lane sums
+    mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) == row_ref[t]
+    out_ref[0] += jnp.where(mask, contrib[None, :], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("ntiles", "nslices", "n",
+                                             "interpret"))
+def _run(window_ids, group_ids, row_in_group, first_flags, x, meta, vals, *,
+         ntiles, nslices, n, interpret=False):
+    n_pad = -(-n // WINDOW) * WINDOW
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
+    x2 = x.astype(jnp.float32).reshape(-1, LANES)
+    ngroups = -(-nslices // SUB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((SUB, LANES), lambda t, w, g, r, f: (w[t], 0)),
+            pl.BlockSpec((1, SUB, LANES), lambda t, w, g, r, f: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANES), lambda t, w, g, r, f: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, SUB, LANES),
+                               lambda t, w, g, r, f: (g[t], 0, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(window_ids, group_ids, row_in_group, first_flags, x2, meta, vals)
+    return out
+
+
+def build_sell8w_fn(packed: Sell8W, interpret: bool = False):
+    """Returns a jitted x -> y closure over device-resident tile arrays.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests;
+    the 8-device virtual mesh has no Mosaic backend).
+    """
+    window_ids = jnp.asarray(packed.window_ids)
+    # host-side precomputation keeps ref arithmetic out of the kernel:
+    sl = packed.slice_ids.astype(np.int32)
+    groups = sl // SUB
+    first = np.ones(packed.ntiles, dtype=np.int32)
+    first[1:] = (groups[1:] != groups[:-1]).astype(np.int32)
+    group_ids = jnp.asarray(groups)
+    row_in_group = jnp.asarray(sl % SUB)
+    first_flags = jnp.asarray(first)
+    meta = jnp.asarray(packed.meta)
+    vals = jnp.asarray(packed.vals)
+    ntiles, nslices, m, n = (packed.ntiles, packed.nslices, packed.m,
+                             packed.n)
+
+    def fn(x):
+        out = _run(window_ids, group_ids, row_in_group, first_flags, x,
+                   meta, vals, ntiles=ntiles, nslices=nslices, n=n,
+                   interpret=interpret)
+        return out.reshape(-1)[:m]
+
+    return fn
+
+
+def sell8w_spmv(packed: Sell8W, x, interpret: bool = False) -> jax.Array:
+    return build_sell8w_fn(packed, interpret=interpret)(x)
