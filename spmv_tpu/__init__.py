@@ -19,7 +19,7 @@ from .handle import (
     spmv_destroy_handle,
     spmv_destory_handle,
 )
-from .inspector import featurize, choose_method, MatrixFeatures
+from .inspector import featurize, choose_method, tune, MatrixFeatures
 
 __version__ = "0.1.0"
 
@@ -29,6 +29,6 @@ __all__ = [
     "SpmvHandle", "create_handle", "spmv",
     "spmv_create_handle_all_in_one", "spmv_clear_handle",
     "spmv_destroy_handle", "spmv_destory_handle",
-    "featurize", "choose_method", "MatrixFeatures",
+    "featurize", "choose_method", "tune", "MatrixFeatures",
     "__version__",
 ]

@@ -123,6 +123,7 @@ class SpmvHandle:
     stats: Dict[str, Any] = dataclasses.field(default_factory=dict)
     _cleared: bool = False
     _bound: Any = None           # plan-bound executable (x -> y), built once
+    perm: Any = None             # reorder permutation (None if not reordered)
 
     def __call__(self, x) -> jax.Array:
         return spmv(self, x)
@@ -259,26 +260,60 @@ def create_handle(a: CsrMatrix,
                   nthreads: int = 0,
                   vectorized: VectorizedWay = VectorizedWay.VPU,
                   mtx_token: Optional[str] = None,
+                  reorder: Optional[str] = None,
                   warm: bool = False) -> SpmvHandle:
     """Inspect the matrix, build the plan, place it on device.
 
     The pythonic form of the reference's 11-argument
     ``spmv_create_handle_all_in_one`` (include/spmv.h:41-52).
+
+    ``reorder``: optional locality pass before planning — "rcm" (bandwidth
+    reduction) or "window" (column clustering), square matrices only.  This
+    is the reference's OPT_LEVEL=3 METIS stage (common.c:144-156) made a
+    first-class option; unlike the reference (whose HARNESS permutes x/y,
+    test_spmv.c:95-101), the handle does both permutations internally so the
+    user-visible contract is unchanged.  The permutation is cached on disk
+    when ``mtx_token`` is given, keyed like the reference's partition cache.
+    For hot loops, pre-permute x yourself and use ``handle.perm`` directly.
     """
     _ensure_x64_if_needed(a.dtype)
     requested = Method(method)
+    perm = None
+    if reorder is not None:
+        from .formats import reorder as reorder_mod
+        if a.m != a.n:
+            raise ValueError("reorder requires a square matrix")
+        if mtx_token:
+            perm = reorder_mod.cached_order(a, mtx_token, kind=reorder)
+        elif reorder == "rcm":
+            perm = reorder_mod.rcm_order(a)
+        elif reorder == "window":
+            perm = reorder_mod.window_cluster_order(a)
+        else:
+            raise ValueError(f"unknown reorder kind {reorder!r}")
+        a, _ = reorder_mod.reorder_symmetric(a, perm)
     resolved = requested
     if requested == Method.AUTO:
         from .inspector import choose_method
         resolved = choose_method(a)
     plan = _build_plan(a, resolved, nthreads, VectorizedWay(vectorized))
+    bound = _make_bound(resolved, plan, a.m)
+    if perm is not None:
+        perm_dev = jax.device_put(jnp.asarray(perm.astype(INT_DTYPE)))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        inv_dev = jax.device_put(jnp.asarray(inv.astype(INT_DTYPE)))
+        inner = bound
+        # y[perm[i]] = y'[i]  ⇔  y = y'[inv]
+        bound = lambda x: inner(x[perm_dev])[inv_dev]
     h = SpmvHandle(
         method=resolved, requested_method=requested,
         dtype=np.dtype(a.dtype) if a.dtype != jnp.bfloat16 else a.dtype,
         m=a.m, n=a.n, nnz=a.nnz, nthreads=nthreads,
         vectorized=VectorizedWay(vectorized), mtx_token=mtx_token, plan=plan,
-        _bound=_make_bound(resolved, plan, a.m),
+        _bound=bound,
     )
+    h.perm = perm
     if warm:
         x = jnp.zeros(a.n, dtype=a.vals.dtype)
         jax.block_until_ready(spmv(h, x))

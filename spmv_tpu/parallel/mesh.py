@@ -42,7 +42,9 @@ from ..types import CsrMatrix, INT_DTYPE
 from ..formats.partition import balanced_row_splitter
 from ..ops import xla_csr
 
-__all__ = ["DistSpmvPlan", "build_dist_plan", "dist_spmv", "make_mesh_1d"]
+__all__ = ["DistSpmvPlan", "build_dist_plan", "dist_spmv",
+           "DistDiaPlan", "build_dist_dia_plan", "dist_dia_spmv",
+           "make_mesh_1d"]
 
 
 def make_mesh_1d(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
@@ -188,3 +190,111 @@ def dist_spmv(plan: DistSpmvPlan, x) -> jax.Array:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
     return plan._exec(plan.colidx_pad, plan.vals_pad, plan.row_start,
                       plan.row_end, x, plan.out_index)
+
+
+# ---------------------------------------------------------------------------
+# Distributed DIA (banded) plan — zero-gather SpMV across the mesh.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DistDiaPlan:
+    """Row-blocked DIA over a 1-D mesh: shard d owns rows
+    [d*mr, (d+1)*mr); each shard runs the shifted-stream FMA plan
+    (ops/xla_csr.dia_spmv) against the replicated (or all-gathered) x.
+
+    The banded analog of the reference's NUMA row-blocking (numa.c:277-304):
+    where the general plan balances nnz, DIA rows carry uniform work so the
+    split is uniform in rows.
+    """
+
+    mesh: Mesh
+    axis: str
+    ndev: int
+    m: int
+    n: int
+    nnz: int
+    offsets: tuple
+    mr: int                     # rows per shard (padded)
+    data: jax.Array             # (ndev, ndiags, mr) sharded
+    x_mode: str
+    _exec: object = None
+
+    def __call__(self, x) -> jax.Array:
+        return dist_dia_spmv(self, x)
+
+
+def build_dist_dia_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
+                        x_mode: str = "replicated") -> DistDiaPlan:
+    from ..formats.dia import pack_dia
+    if x_mode not in ("replicated", "allgather"):
+        raise ValueError(f"unknown x_mode {x_mode!r}")
+    d = pack_dia(a)
+    ndev = mesh.shape[axis]
+    mr = max(-(-a.m // ndev), 1)
+    data = np.zeros((ndev, len(d.offsets), mr), dtype=d.data.dtype)
+    for dev in range(ndev):
+        r0 = dev * mr
+        r1 = min(r0 + mr, a.m)
+        if r1 > r0:
+            data[dev, :, : r1 - r0] = d.data[:, r0:r1]
+    plan = DistDiaPlan(
+        mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
+        offsets=tuple(int(o) for o in d.offsets), mr=mr,
+        data=jax.device_put(data, NamedSharding(mesh, P(axis))),
+        x_mode=x_mode,
+    )
+    plan._exec = _build_dia_executable(plan)
+    return plan
+
+
+def _build_dia_executable(plan: DistDiaPlan):
+    from ..ops import xla_csr
+    mesh, axis = plan.mesh, plan.axis
+    x_sharded = plan.x_mode == "allgather"
+    mr, n, offsets = plan.mr, plan.n, plan.offsets
+
+    def shard_body(data, x):
+        if x_sharded:
+            x = jax.lax.all_gather(x, axis, tiled=True)
+        # shard d computes rows [d*mr, (d+1)*mr): global row i = d*mr + il,
+        # so its x offsets shift by +d*mr relative to the local row index.
+        dev = jax.lax.axis_index(axis)
+        row0 = dev * mr
+        # pad x so every (offset + row0) slice is in range
+        omin, omax = min(offsets), max(offsets)
+        pad_l = max(0, -omin)
+        pad_r = max(0, mr * plan.ndev + omax - n) + mr
+        xpad = jnp.concatenate([
+            jnp.zeros(pad_l, x.dtype), x, jnp.zeros(pad_r, x.dtype)])
+        acc = jnp.zeros(mr, x.dtype)
+        for k, o in enumerate(offsets):
+            seg = jax.lax.dynamic_slice_in_dim(xpad, pad_l + o + row0, mr)
+            acc = acc + data[0, k] * seg
+        return acc[None, :]
+
+    smap = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis), P(axis) if x_sharded else P()),
+        out_specs=P(axis),
+    )
+
+    @jax.jit
+    def run(data, x):
+        return smap(data, x).reshape(-1)
+
+    return run
+
+
+def dist_dia_spmv(plan: DistDiaPlan, x) -> jax.Array:
+    x = jnp.asarray(x)
+    if x.shape != (plan.n,):
+        raise ValueError(f"x has shape {x.shape}, expected ({plan.n},)")
+    if plan.x_mode == "allgather":
+        n_pad = -(-plan.n // plan.ndev) * plan.ndev
+        if n_pad != plan.n:
+            x = jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
+        x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
+    else:
+        x = jax.device_put(x, NamedSharding(plan.mesh, P()))
+    y = plan._exec(plan.data, x)
+    return y[: plan.m]

@@ -143,3 +143,44 @@ def test_dia_profile():
         idx = np.arange(max(0, -off), min(100, 100 - off))
         dense[idx, idx + off] = d.data[k, idx]
     np.testing.assert_array_equal(dense, a.to_dense())
+
+
+def test_tune_picks_working_method(matrices):
+    from spmv_tpu import tune, Method
+    a = matrices["banded"]
+    h, results = tune(a, methods=[Method.SERIAL, Method.DIA], iters=2,
+                      repeats=1)
+    assert h.method in (Method.SERIAL, Method.DIA)
+    assert len(results) == 2
+    import numpy as np
+    from spmv_tpu import spmv
+    from spmv_tpu.oracle import spmv_golden
+    x = np.random.default_rng(0).standard_normal(a.n)
+    np.testing.assert_allclose(np.asarray(spmv(h, x)), spmv_golden(a, x),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_handle_reorder_rcm(matrices):
+    import numpy as np
+    from spmv_tpu import create_handle, spmv, Method
+    from spmv_tpu.oracle import spmv_golden
+    # scrambled banded matrix; reorder="rcm" must give identical results
+    from spmv_tpu.formats import reorder as rmod
+    from spmv_tpu.io import generate
+    a0 = generate.banded(256, 256, 3, seed=2)
+    scramble = np.random.default_rng(1).permutation(256)
+    a, _ = rmod.reorder_symmetric(a0, scramble)
+    h = create_handle(a, method=Method.BALANCED, reorder="rcm")
+    assert h.perm is not None
+    x = np.random.default_rng(2).standard_normal(a.n)
+    np.testing.assert_allclose(np.asarray(spmv(h, x)), spmv_golden(a, x),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_handle_reorder_rejects_rect():
+    import pytest
+    from spmv_tpu import create_handle, Method
+    from spmv_tpu.io import generate
+    a = generate.random_uniform(50, 70, 4, seed=1)
+    with pytest.raises(ValueError):
+        create_handle(a, method=Method.SERIAL, reorder="rcm")

@@ -42,3 +42,16 @@ def test_dist_f32():
     y = np.asarray(dist_spmv(plan, x))
     ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
     np.testing.assert_allclose(y, ref, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather"])
+def test_dist_dia(matrices, x_mode):
+    from spmv_tpu.parallel import build_dist_dia_plan, dist_dia_spmv
+    for name in ("banded", "banded_rect"):
+        a = matrices[name]
+        mesh = make_mesh_1d(8)
+        plan = build_dist_dia_plan(a, mesh, x_mode=x_mode)
+        x = generate.make_x(a.n, a.dtype, kind="normal", seed=4)
+        y = np.asarray(dist_dia_spmv(plan, x))
+        np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-10,
+                                   atol=1e-12, err_msg=f"{name} {x_mode}")
