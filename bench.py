@@ -31,6 +31,8 @@ REFERENCE_UNIFORM_GFLOPS = 8.18  # baselines/reference_cpu.csv
 
 
 def main() -> int:
+    from spmv_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from spmv_tpu.io import generate

@@ -202,6 +202,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         methods = [Method[m.strip().upper()]
                    for m in args.methods.split(",")]
 
+    from ..utils import enable_compile_cache
+    enable_compile_cache()
     print(CSV_HEADER, flush=True)
     for spec in args.matrices:
         name, a = load_any(spec, dtype=dtype)
