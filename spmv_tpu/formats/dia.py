@@ -43,10 +43,33 @@ def dia_profile(a: CsrMatrix, max_diags: int = 1024):
     return len(offs), a.nnz / max(len(offs) * a.m, 1)
 
 
-def pack_dia(a: CsrMatrix) -> DiaMatrix:
+def is_lossless_bf16(vals: np.ndarray) -> bool:
+    """True if every value round-trips bf16 exactly (≤8 mantissa bits).
+
+    The reference's synthetic values are dyadic rationals k/8
+    (test_spmv.c:200) precisely so arithmetic stays exact; such values are
+    also exact in bf16, making 2-byte storage a free 2× on HBM traffic.
+    """
+    import ml_dtypes
+    v32 = vals.astype(np.float32)
+    return bool(np.array_equal(v32.astype(ml_dtypes.bfloat16)
+                               .astype(np.float32), v32))
+
+
+def pack_dia(a: CsrMatrix, compress: str = "lossless") -> DiaMatrix:
+    """``compress``: "lossless" stores diagonals as bf16 when every value is
+    exactly representable (no accuracy change — accumulation stays f32);
+    "bf16" forces it (lossy); "none" keeps the input dtype.
+    """
     rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
     off = a.colidx.astype(np.int64) - rows
     uniq, inv = np.unique(off, return_inverse=True)
     data = np.zeros((len(uniq), a.m), dtype=a.vals.dtype)
     data[inv, rows] = a.vals
+    if compress == "bf16" or (
+            compress == "lossless"
+            and np.dtype(a.dtype) == np.float32
+            and is_lossless_bf16(a.vals)):
+        import ml_dtypes
+        data = data.astype(ml_dtypes.bfloat16)
     return DiaMatrix(a.m, a.n, a.nnz, uniq.astype(INT_DTYPE), data)

@@ -61,29 +61,27 @@ class Sell8W:
 
 def estimate_sell8w_tiles(a: CsrMatrix) -> int:
     """Cheap lower-bound tile count (no consistency conflicts accounted):
-    per (slice, window): max(ceil(max-lane-count/8), ceil(total/1024))."""
+    per (slice, window): max(ceil(max-lane-count/8), ceil(total/1024)).
+    Fully vectorized (runs inside featurize for every AUTO handle)."""
     if a.nnz == 0:
         return 0
     rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
     sl = rows // LANES
     w = a.colidx.astype(np.int64) // WINDOW
     lane = rows % LANES
-    # group by (slice, window): need per-lane counts
-    key_sw = sl * (a.n // WINDOW + 2) + w
+    nwin = a.n // WINDOW + 2
+    key_sw = sl * nwin + w
     key_swl = key_sw * LANES + lane
-    _, lane_counts = np.unique(key_swl, return_counts=True)
-    # per (s,w): max lane count and total — recompute via sort
-    order = np.argsort(key_sw, kind="stable")
-    ks = key_sw[order]
-    boundaries = np.nonzero(np.diff(ks))[0] + 1
-    groups = np.split(np.arange(len(ks)), boundaries)
-    total = 0
-    kl = key_swl[order]
-    for g in groups:
-        tot = len(g)
-        _, c = np.unique(kl[g], return_counts=True)
-        total += max(-(-int(c.max()) // SUB), -(-tot // WINDOW))
-    return total
+    # per-(slice,window,lane) counts, then per-(slice,window) max and total
+    uswl, lane_counts = np.unique(key_swl, return_counts=True)
+    usw_of_lane = uswl // LANES
+    # group max over sorted usw_of_lane (np.maximum.reduceat)
+    first = np.concatenate([[0], np.nonzero(np.diff(usw_of_lane))[0] + 1])
+    max_lane = np.maximum.reduceat(lane_counts, first)
+    usw, totals = np.unique(key_sw, return_counts=True)
+    # usw and usw_of_lane[first] enumerate the same groups in the same order
+    tiles = np.maximum(-(-max_lane // SUB), -(-totals // WINDOW))
+    return int(tiles.sum())
 
 
 def pack_sell8w(a: CsrMatrix, max_pad_ratio: Optional[float] = None,

@@ -184,3 +184,32 @@ def test_handle_reorder_rejects_rect():
     a = generate.random_uniform(50, 70, 4, seed=1)
     with pytest.raises(ValueError):
         create_handle(a, method=Method.SERIAL, reorder="rcm")
+
+
+def test_dia_lossless_bf16_gate():
+    import numpy as np
+    from spmv_tpu.io import generate
+    from spmv_tpu.formats.dia import pack_dia, is_lossless_bf16
+    a = generate.banded(500, 500, 2, dtype=np.float32, seed=1)  # dyadic k/8
+    assert is_lossless_bf16(a.vals)
+    import ml_dtypes
+    assert pack_dia(a).data.dtype == ml_dtypes.bfloat16
+    b = generate.banded(500, 500, 2, dtype=np.float32, seed=1, exact=False)
+    assert not is_lossless_bf16(b.vals)
+    assert pack_dia(b).data.dtype == np.float32
+    # bf16-stored plan still matches the golden EXACTLY (values dyadic)
+    from spmv_tpu import create_handle, spmv, Method
+    from spmv_tpu.oracle import spmv_golden
+    h = create_handle(a, method=Method.DIA)
+    x = np.ones(a.n, np.float32)
+    np.testing.assert_array_equal(np.asarray(spmv(h, x)),
+                                  spmv_golden(a, x).astype(np.float32))
+
+
+def test_sell8w_estimate_matches_pack():
+    import numpy as np
+    from spmv_tpu.io import generate
+    from spmv_tpu.formats.sell8w import estimate_sell8w_tiles, pack_sell8w
+    a = generate.clustered(3000, 3000, 24, spread=300, dtype=np.float32,
+                           seed=4)
+    assert estimate_sell8w_tiles(a) <= pack_sell8w(a).ntiles
