@@ -179,6 +179,22 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             return {"sell8w": packed, "pad_ratio": packed.pad_ratio}
         except ValueError:
             pass  # fall through to the XLA plan
+    if (method == Method.CSR5
+            and vectorized != VectorizedWay.NONE
+            and np.dtype(a.dtype) == np.float32
+            and jax.default_backend() == "tpu"
+            and a.nnz > 0):
+        # Two-pass COO2 Pallas path (formats/coo2.py) — the CSR5-analog
+        # tiled design for matrices with moderate column scatter; falls
+        # back to the XLA tiled scan when the reduce padding explodes.
+        from .formats import coo2 as coo2_fmt
+        try:
+            packed = coo2_fmt.pack_coo2(a, max_pad2=8.0)
+            return {"coo2": packed,
+                    "pad1": packed.pad_ratio_pass1,
+                    "pad2": packed.pad_ratio_pass2}
+        except ValueError:
+            pass  # fall through to the XLA plan
     if method == Method.SERIAL:
         return {
             "rows": dev(partition.row_ids(a)),
@@ -231,6 +247,9 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     if "sell8w" in p:
         from .ops.pallas_sell import build_sell8w_fn
         return build_sell8w_fn(p["sell8w"])
+    if "coo2" in p:
+        from .ops.pallas_coo2 import build_coo2_fn
+        return build_coo2_fn(p["coo2"])
     if m == Method.SERIAL:
         return lambda x: _exec_serial(p["rows"], p["colidx"], p["vals"], x,
                                       m_rows)

@@ -20,7 +20,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["load_native", "native_available", "parse_mtx", "pack_sell8w_native"]
+__all__ = ["load_native", "native_available", "parse_mtx",
+           "pack_sell8w_native", "coo2_place_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "spmv_native.cpp")
 _SO = os.path.join(os.path.dirname(__file__), "_spmv_native.so")
@@ -81,6 +82,23 @@ def load_native() -> Optional[ctypes.CDLL]:
                                                 np.int16, np.float32)]
         lib.sell8w_free.restype = None
         lib.sell8w_free.argtypes = [c.c_void_p]
+        lib.coo2_place.restype = c.c_void_p
+        lib.coo2_place.argtypes = [
+            c.c_int64,
+            np.ctypeslib.ndpointer(np.int16),
+            np.ctypeslib.ndpointer(np.int16),
+            np.ctypeslib.ndpointer(np.float32),
+            c.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            c.POINTER(c.c_int64)]
+        lib.coo2_copy.restype = None
+        lib.coo2_copy.argtypes = [c.c_void_p] + [
+            np.ctypeslib.ndpointer(d) for d in (np.int32, np.int16,
+                                                np.float32, np.int64)]
+        lib.coo2_free.restype = None
+        lib.coo2_free.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
 
@@ -133,3 +151,33 @@ def pack_sell8w_native(m: int, n: int, rowptr: np.ndarray,
                 vtiles.reshape(t, 8, 128))
     finally:
         lib.sell8w_free(h)
+
+
+def coo2_place_native(s_arr, r_arr, v_arr, group_w, group_lo, group_hi):
+    """(window_ids, meta, vals, positions) or None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    import ctypes as c
+    s_arr = np.ascontiguousarray(s_arr, np.int16)
+    r_arr = np.ascontiguousarray(r_arr, np.int16)
+    v_arr = np.ascontiguousarray(v_arr, np.float32)
+    group_w = np.ascontiguousarray(group_w, np.int64)
+    group_lo = np.ascontiguousarray(group_lo, np.int64)
+    group_hi = np.ascontiguousarray(group_hi, np.int64)
+    ntiles = c.c_int64(0)
+    h = lib.coo2_place(len(s_arr), s_arr, r_arr, v_arr, len(group_w),
+                       group_w, group_lo, group_hi, c.byref(ntiles))
+    if not h:
+        return None
+    try:
+        t = int(ntiles.value)
+        window_ids = np.empty(t, np.int32)
+        meta = np.empty(t * 8 * 128, np.int16)
+        vals = np.empty(t * 8 * 128, np.float32)
+        positions = np.empty(len(s_arr), np.int64)
+        lib.coo2_copy(h, window_ids, meta, vals, positions)
+        return (window_ids, meta.reshape(t, 8, 128),
+                vals.reshape(t, 8, 128), positions)
+    finally:
+        lib.coo2_free(h)

@@ -290,3 +290,85 @@ void sell8w_copy(void* h, int32_t* window_ids, int32_t* slice_ids,
 void sell8w_free(void* h) { delete static_cast<TileBuffer*>(h); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// COO2 pass-1 greedy placer (see formats/coo2.py).  Elements arrive sorted
+// (already grouped); each group's elements share one x-window.  A slot (i,j)
+// is free-form under the per-(sublane,residue) staging-consistency
+// constraint; positions are recorded per element for the pass-2 R matrix.
+// ---------------------------------------------------------------------------
+struct Coo2Buffer {
+  std::vector<int32_t> window_ids;
+  std::vector<int16_t> meta;
+  std::vector<float> vals;
+  std::vector<int64_t> positions;   // per input element
+};
+
+extern "C" void* coo2_place(int64_t n_elems, const int16_t* s,
+                            const int16_t* r, const float* v,
+                            int64_t ngroups, const int64_t* group_w,
+                            const int64_t* group_lo, const int64_t* group_hi,
+                            int64_t* ntiles_out) {
+  auto* cb = new Coo2Buffer();
+  cb->positions.resize(static_cast<size_t>(n_elems));
+  std::vector<int16_t> stab(kSub * kLanes);
+  std::vector<int16_t> rslot(kSub * kLanes);
+  std::vector<float> vtile(kSub * kLanes);
+  int64_t next_free[kSub];
+  std::vector<int64_t> pending, overflow;
+  for (int64_t g = 0; g < ngroups; ++g) {
+    pending.clear();
+    for (int64_t e = group_lo[g]; e < group_hi[g]; ++e) pending.push_back(e);
+    while (!pending.empty()) {
+      std::fill(stab.begin(), stab.end(), static_cast<int16_t>(-1));
+      std::fill(rslot.begin(), rslot.end(), static_cast<int16_t>(0));
+      std::fill(vtile.begin(), vtile.end(), 0.0f);
+      std::fill(next_free, next_free + kSub, 0);
+      overflow.clear();
+      int64_t t_idx = static_cast<int64_t>(cb->window_ids.size());
+      for (int64_t e : pending) {
+        int16_t s_e = s[e], r_e = r[e];
+        bool placed = false;
+        for (int i = 0; i < kSub; ++i) {
+          int16_t& st = stab[i * kLanes + r_e];
+          if (next_free[i] < kLanes && (st == -1 || st == s_e)) {
+            int64_t j = next_free[i]++;
+            st = s_e;
+            rslot[i * kLanes + j] = r_e;
+            vtile[i * kLanes + j] = v[e];
+            cb->positions[static_cast<size_t>(e)] =
+                t_idx * kWindow + i * kLanes + j;
+            placed = true;
+            break;
+          }
+        }
+        if (!placed) overflow.push_back(e);
+      }
+      cb->window_ids.push_back(static_cast<int32_t>(group_w[g]));
+      size_t base = cb->meta.size();
+      cb->meta.resize(base + kSub * kLanes);
+      cb->vals.resize(base + kSub * kLanes);
+      for (int i = 0; i < kSub * kLanes; ++i) {
+        int16_t st = stab[i] < 0 ? 0 : stab[i];
+        cb->meta[base + i] = static_cast<int16_t>((st << 7) | rslot[i]);
+        cb->vals[base + i] = vtile[i];
+      }
+      pending.swap(overflow);
+    }
+  }
+  *ntiles_out = static_cast<int64_t>(cb->window_ids.size());
+  return cb;
+}
+
+extern "C" void coo2_copy(void* h, int32_t* window_ids, int16_t* meta,
+                          float* vals, int64_t* positions) {
+  auto* cb = static_cast<Coo2Buffer*>(h);
+  std::memcpy(window_ids, cb->window_ids.data(),
+              cb->window_ids.size() * sizeof(int32_t));
+  std::memcpy(meta, cb->meta.data(), cb->meta.size() * sizeof(int16_t));
+  std::memcpy(vals, cb->vals.data(), cb->vals.size() * sizeof(float));
+  std::memcpy(positions, cb->positions.data(),
+              cb->positions.size() * sizeof(int64_t));
+}
+
+extern "C" void coo2_free(void* h) { delete static_cast<Coo2Buffer*>(h); }

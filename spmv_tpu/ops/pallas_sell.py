@@ -36,11 +36,14 @@ from ..formats.sell8w import Sell8W, LANES, SUB, WINDOW
 __all__ = ["build_sell8w_fn", "sell8w_spmv"]
 
 
-def _kernel(w_ref, group_ref, row_ref, first_ref, xwin_ref, meta_ref,
-            vals_ref, out_ref):
+def _kernel(w_ref, gpk_ref, xwin_ref, meta_ref, vals_ref, out_ref):
+    # gpk packs (group << 4 | row_in_group << 1 | first) — scalar-prefetch
+    # arrays live in 1 MB SMEM, so tile metadata must stay at 2 int32/tile
+    # (measured overflow at ~65k tiles with 4 arrays).
     t = pl.program_id(0)
+    gpk = gpk_ref[t]
 
-    @pl.when(first_ref[t] == 1)
+    @pl.when((gpk & 1) == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -48,14 +51,15 @@ def _kernel(w_ref, group_ref, row_ref, first_ref, xwin_ref, meta_ref,
     t1 = jnp.take_along_axis(xwin_ref[:], m >> 7, axis=0)
     xg = jnp.take_along_axis(t1, m & 127, axis=1)
     contrib = jnp.sum(vals_ref[0] * xg, axis=0)          # (128,) lane sums
-    mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) == row_ref[t]
+    row = (gpk >> 1) & 7
+    mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) == row
     out_ref[0] += jnp.where(mask, contrib[None, :], 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("ntiles", "nslices", "n",
                                              "interpret"))
-def _run(window_ids, group_ids, row_in_group, first_flags, x, meta, vals, *,
-         ntiles, nslices, n, interpret=False):
+def _run(window_ids, gpk, x, meta, vals, *, ntiles, nslices, n,
+         interpret=False):
     n_pad = -(-n // WINDOW) * WINDOW
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
@@ -63,22 +67,22 @@ def _run(window_ids, group_ids, row_in_group, first_flags, x, meta, vals, *,
     ngroups = -(-nslices // SUB)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((SUB, LANES), lambda t, w, g, r, f: (w[t], 0)),
-            pl.BlockSpec((1, SUB, LANES), lambda t, w, g, r, f: (t, 0, 0)),
-            pl.BlockSpec((1, SUB, LANES), lambda t, w, g, r, f: (t, 0, 0)),
+            pl.BlockSpec((SUB, LANES), lambda t, w, g: (w[t], 0)),
+            pl.BlockSpec((1, SUB, LANES), lambda t, w, g: (t, 0, 0)),
+            pl.BlockSpec((1, SUB, LANES), lambda t, w, g: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, SUB, LANES),
-                               lambda t, w, g, r, f: (g[t], 0, 0)),
+                               lambda t, w, g: (g[t] >> 4, 0, 0)),
     )
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(window_ids, group_ids, row_in_group, first_flags, x2, meta, vals)
+    )(window_ids, gpk, x2, meta, vals)
     return out
 
 
@@ -89,22 +93,23 @@ def build_sell8w_fn(packed: Sell8W, interpret: bool = False):
     the 8-device virtual mesh has no Mosaic backend).
     """
     window_ids = jnp.asarray(packed.window_ids)
-    # host-side precomputation keeps ref arithmetic out of the kernel:
-    sl = packed.slice_ids.astype(np.int32)
+    # host-side precomputation keeps ref arithmetic out of the kernel;
+    # (group, row, first) pack into one int32 to fit the 1 MB SMEM budget
+    # for scalar-prefetch arrays
+    sl = packed.slice_ids.astype(np.int64)
     groups = sl // SUB
-    first = np.ones(packed.ntiles, dtype=np.int32)
-    first[1:] = (groups[1:] != groups[:-1]).astype(np.int32)
-    group_ids = jnp.asarray(groups)
-    row_in_group = jnp.asarray(sl % SUB)
-    first_flags = jnp.asarray(first)
+    first = np.ones(packed.ntiles, dtype=np.int64)
+    first[1:] = (groups[1:] != groups[:-1]).astype(np.int64)
+    gpk = jnp.asarray((groups << 4 | (sl % SUB) << 1 | first)
+                      .astype(np.int32))
     meta = jnp.asarray(packed.meta)
     vals = jnp.asarray(packed.vals)
     ntiles, nslices, m, n = (packed.ntiles, packed.nslices, packed.m,
                              packed.n)
 
     def fn(x):
-        out = _run(window_ids, group_ids, row_in_group, first_flags, x,
-                   meta, vals, ntiles=ntiles, nslices=nslices, n=n,
+        out = _run(window_ids, gpk, x, meta, vals,
+                   ntiles=ntiles, nslices=nslices, n=n,
                    interpret=interpret)
         return out.reshape(-1)[:m]
 
