@@ -86,6 +86,13 @@ def _exec_scan_tiled(colidx_pad, vals_pad, row_start, row_end, x, tile):
                                    tile=tile)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "nblock_rows"))
+def _exec_bcsr(blocks, block_rows, block_cols, x, m, nblock_rows):
+    return xla_csr.bcsr_spmv(blocks, block_rows, block_cols,
+                             x.astype(jnp.float32), m=m,
+                             nblock_rows=nblock_rows)
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "m", "n"))
 def _exec_dia(data, x, offsets, m, n):
     acc = _acc_dtype(data.dtype)
@@ -212,6 +219,16 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             "row_start": dev(p.row_start),
             "row_end": dev(p.row_end),
         }
+    if method == Method.BCSR:
+        from .formats import bcsr as bcsr_fmt
+        b = bcsr_fmt.pack_bcsr(a)
+        return {
+            "blocks": dev(b.blocks),
+            "block_rows": dev(b.block_rows),
+            "block_cols": dev(b.block_cols),
+            "nblock_rows": -(-a.m // bcsr_fmt.BLOCK),
+            "fill": b.fill,
+        }
     if method == Method.DIA:
         d = dia_fmt.pack_dia(a)
         return {
@@ -267,6 +284,10 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     if m == Method.DIA:
         return lambda x: _exec_dia(p["data"], x, p["offsets"], m_rows,
                                    p["n"])
+    if m == Method.BCSR:
+        return lambda x: _exec_bcsr(p["blocks"], p["block_rows"],
+                                    p["block_cols"], x, m_rows,
+                                    p["nblock_rows"])
     raise ValueError(f"unknown method {m}")
 
 

@@ -34,6 +34,9 @@ class MatrixFeatures:
     # Diagonal structure: distinct (col-row) offsets and nnz/(ndiags·m) fill
     ndiags: int = 0
     dia_fill: float = 0.0
+    # Block structure: nonempty 128x128 blocks and their mean fill
+    nblocks: int = 0
+    block_fill: float = 0.0
     # Window locality: estimated SELL-8W padding (tiles·1024/nnz) — the
     # decision metric for the Pallas windowed kernel (PERFNOTES.md)
     sell8w_pad: float = float("inf")
@@ -64,7 +67,9 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
     from .formats.dia import dia_profile
     lengths = a.row_lengths.astype(np.int64)
     mean = float(lengths.mean()) if a.m else 0.0
+    from .formats.bcsr import bcsr_profile
     ndiags, dia_fill = dia_profile(a) if a.nnz else (0, 0.0)
+    nblocks, block_fill = bcsr_profile(a) if a.nnz else (0, 0.0)
     if a.nnz:
         from .formats.sell8w import estimate_sell8w_tiles, WINDOW
         sell8w_pad = estimate_sell8w_tiles(a) * WINDOW / a.nnz
@@ -78,6 +83,7 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
         empty_frac=float((lengths == 0).mean()) if a.m else 0.0,
         sell_pad_ratio=_sell_pad_ratio(lengths) if a.m else 1.0,
         ndiags=ndiags, dia_fill=dia_fill, sell8w_pad=sell8w_pad,
+        nblocks=nblocks, block_fill=block_fill,
     )
 
 
@@ -100,6 +106,10 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
     # per-diagonal op count must stay compile-friendly.
     if f.ndiags and f.ndiags <= 256 and f.dia_fill >= 0.3:
         return Method.DIA
+    # Dense 128x128 block structure → MXU batched matmuls (the only plan
+    # whose irregular ops scale as nnz/16384 instead of nnz).
+    if f.block_fill >= 0.15:
+        return Method.BCSR
     # Tiny matrices: compile-simple serial plan is fine.
     if f.nnz < 10_000:
         return Method.SERIAL
@@ -137,8 +147,8 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
     if a.m != a.n:
         raise ValueError("tune() requires a square matrix (chained timing)")
     if methods is None:
-        methods = [Method.DIA, Method.SELL_C_SIGMA, Method.BALANCED,
-                   Method.SERIAL]
+        methods = [Method.DIA, Method.BCSR, Method.SELL_C_SIGMA,
+                   Method.BALANCED, Method.SERIAL]
     if x is None:
         x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
     xj = jnp.asarray(x)

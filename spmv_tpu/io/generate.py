@@ -130,3 +130,27 @@ def clustered(m: int, n: int, nnz_per_row: int = 32, spread: int = 512,
         rng.standard_normal(rows.size).astype(dtype)
     return CsrMatrix.from_coo(m, n, rows.astype(INT_DTYPE),
                               cols.astype(INT_DTYPE), vals)
+
+
+def block_random(nblk_rows: int, nblk_cols: int, blocks_per_row: int = 4,
+                 block: int = 128, fill: float = 0.5, dtype=np.float64,
+                 seed: int = 0) -> CsrMatrix:
+    """Block-structured random matrix: dense-ish 128x128 blocks — the BCSR/
+    MXU regime (multiphysics/FEM-style coupling patterns)."""
+    rng = np.random.default_rng(seed)
+    rows_l, cols_l = [], []
+    for br in range(nblk_rows):
+        bcs = rng.choice(nblk_cols, size=min(blocks_per_row, nblk_cols),
+                         replace=False)
+        for bc in bcs:
+            k = rng.binomial(block * block, fill)
+            r = rng.integers(0, block, size=k)
+            c = rng.integers(0, block, size=k)
+            rows_l.append(br * block + r)
+            cols_l.append(bc * block + c)
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = exact_values(rng, rows.size, dtype)
+    return CsrMatrix.from_coo(nblk_rows * block, nblk_cols * block,
+                              rows.astype(INT_DTYPE), cols.astype(INT_DTYPE),
+                              vals)

@@ -27,6 +27,7 @@ __all__ = [
     "scan_spmv_tiled",
     "sell_spmv",
     "dia_spmv",
+    "bcsr_spmv",
 ]
 
 
@@ -131,3 +132,27 @@ def dia_spmv(data, x, *, offsets: tuple, m: int, n: int):
         seg = jax.lax.dynamic_slice_in_dim(xpad, pad_l + o, m)
         acc = acc + data[d] * seg
     return acc
+
+
+def bcsr_spmv(blocks, block_rows, block_cols, x, *, m: int,
+              nblock_rows: int):
+    """Method_Bcsr plan: batched 128×128 dense-block matmuls on the MXU.
+
+    All irregularity collapses to block granularity: one row-gather of x
+    blocks and one sorted segment-sum of block partials per 128² block —
+    1/128th the irregular-op count of any per-nonzero plan, which is what
+    makes this the fast path for block-dense matrices on this device
+    (PERFNOTES.md).  The einsum contracts on the MXU.
+    """
+    n_pad = -(-x.shape[0] // 128) * 128
+    if n_pad != x.shape[0]:
+        x = jnp.concatenate([x, jnp.zeros(n_pad - x.shape[0], x.dtype)])
+    x2 = x.reshape(-1, 128)
+    xb = x2[block_cols]                                   # (nb, 128) gather
+    partial = jnp.einsum("bij,bj->bi", blocks, xb,
+                         preferred_element_type=jnp.float32)
+    partial = jax.lax.optimization_barrier(partial)
+    y2 = jax.ops.segment_sum(partial, block_rows,
+                             num_segments=nblock_rows,
+                             indices_are_sorted=True)
+    return y2.reshape(-1)[:m]

@@ -50,6 +50,7 @@ class Method(enum.IntEnum):
     AUTO = 9
     # TPU-native extensions (no reference counterpart):
     DIA = 10          # diagonal/banded format: shifted-stream FMAs, no gather
+    BCSR = 11         # 128x128 dense blocks via MXU batched matmuls
 
 
 #: Reference name strings (common.c:325-333) for CSV-schema parity.
@@ -63,6 +64,7 @@ METHOD_NAMES = {
     Method.CSR5: "Method_Csr5Spmv",
     Method.AUTO: "Method_Auto",
     Method.DIA: "Method_Dia",
+    Method.BCSR: "Method_Bcsr",
 }
 
 

@@ -213,3 +213,41 @@ def test_sell8w_estimate_matches_pack():
     a = generate.clustered(3000, 3000, 24, spread=300, dtype=np.float32,
                            seed=4)
     assert estimate_sell8w_tiles(a) <= pack_sell8w(a).ntiles
+
+
+def test_bcsr_method():
+    import numpy as np
+    from spmv_tpu.io import generate
+    from spmv_tpu import create_handle, spmv, Method
+    from spmv_tpu.oracle import spmv_golden
+    a = generate.block_random(6, 8, blocks_per_row=3, fill=0.4, seed=2)
+    h = create_handle(a, method=Method.BCSR)
+    x = np.random.default_rng(1).standard_normal(a.n)
+    y = np.asarray(spmv(h, x))
+    ref = spmv_golden(a, x)
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=1e-5)
+
+
+def test_auto_picks_bcsr_for_blocky():
+    from spmv_tpu.io import generate
+    from spmv_tpu import create_handle, Method
+    a = generate.block_random(4, 4, blocks_per_row=2, fill=0.5, seed=3)
+    h = create_handle(a, method=Method.AUTO)
+    assert h.method == Method.BCSR
+
+
+def test_bcsr_profile_and_rect():
+    import numpy as np
+    from spmv_tpu.io import generate
+    from spmv_tpu.formats.bcsr import bcsr_profile, pack_bcsr
+    a = generate.block_random(3, 5, blocks_per_row=2, fill=0.3, seed=4)
+    nb, fill = bcsr_profile(a)
+    assert nb <= 6 and fill > 0.2
+    b = pack_bcsr(a)
+    # reconstruction
+    dense = np.zeros((a.m, a.n), np.float32)
+    for k in range(b.nblocks):
+        r0, c0 = b.block_rows[k]*128, b.block_cols[k]*128
+        dense[r0:r0+128, c0:c0+128] = b.blocks[k]
+    np.testing.assert_allclose(dense, a.to_dense().astype(np.float32))
