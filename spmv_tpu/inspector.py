@@ -37,6 +37,8 @@ class MatrixFeatures:
     # Block structure: nonempty 128x128 blocks and their mean fill
     nblocks: int = 0
     block_fill: float = 0.0
+    # COO2 pass-2 lower bound: (slice,window) pairs · 1024 / nnz
+    coo2_pad: float = float("inf")
     # Window locality: estimated SELL-8W padding (tiles·1024/nnz) — the
     # decision metric for the Pallas windowed kernel (PERFNOTES.md)
     sell8w_pad: float = float("inf")
@@ -71,10 +73,15 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
     ndiags, dia_fill = dia_profile(a) if a.nnz else (0, 0.0)
     nblocks, block_fill = bcsr_profile(a) if a.nnz else (0, 0.0)
     if a.nnz:
-        from .formats.sell8w import estimate_sell8w_tiles, WINDOW
+        from .formats.sell8w import estimate_sell8w_tiles, WINDOW, LANES
         sell8w_pad = estimate_sell8w_tiles(a) * WINDOW / a.nnz
+        rows_e = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+        pairs = np.unique((rows_e // LANES) * (a.n // WINDOW + 2)
+                          + a.colidx.astype(np.int64) // WINDOW).size
+        coo2_pad = pairs * WINDOW / a.nnz
     else:
         sell8w_pad = 1.0
+        coo2_pad = 1.0
     return MatrixFeatures(
         m=a.m, n=a.n, nnz=a.nnz,
         mean_row=mean,
@@ -83,7 +90,7 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
         empty_frac=float((lengths == 0).mean()) if a.m else 0.0,
         sell_pad_ratio=_sell_pad_ratio(lengths) if a.m else 1.0,
         ndiags=ndiags, dia_fill=dia_fill, sell8w_pad=sell8w_pad,
-        nblocks=nblocks, block_fill=block_fill,
+        nblocks=nblocks, block_fill=block_fill, coo2_pad=coo2_pad,
     )
 
 
@@ -118,6 +125,9 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
     # winner on this hardware whenever padding is bounded.
     if f.sell8w_pad <= 3.0:
         return Method.SELL_C_SIGMA
+    # Moderate column scatter: the two-pass COO2 path (CSR5's TPU analog).
+    if f.coo2_pad <= 6.0:
+        return Method.CSR5
     if f.sell_pad_ratio <= 1.6:
         return Method.SELL_C_SIGMA
     # Heavy skew / mega-rows: exact-nnz scan handles any distribution.

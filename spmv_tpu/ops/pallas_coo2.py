@@ -60,7 +60,8 @@ def build_coo2_fn(packed: Coo2, interpret: bool = False):
     meta = jnp.asarray(packed.meta)
     vals = jnp.asarray(packed.vals)
     ntiles, n = packed.ntiles, packed.n
-    reduce_fn = build_sell8w_fn(packed.reduce_plan, interpret=interpret)
+    reduce_fn = build_sell8w_fn(packed.reduce_plan, interpret=interpret,
+                                binary=True)
 
     def fn(x):
         prod = _pass1(window_ids, x, meta, vals, ntiles=ntiles, n=n,

@@ -48,7 +48,7 @@ def _kernel(w_ref, gpk_ref, xwin_ref, meta_ref, vals_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     m = meta_ref[0].astype(jnp.int32)
-    t1 = jnp.take_along_axis(xwin_ref[:], m >> 7, axis=0)
+    t1 = jnp.take_along_axis(xwin_ref[:], (m >> 7) & 7, axis=0)
     xg = jnp.take_along_axis(t1, m & 127, axis=1)
     contrib = jnp.sum(vals_ref[0] * xg, axis=0)          # (128,) lane sums
     row = (gpk >> 1) & 7
@@ -56,41 +56,64 @@ def _kernel(w_ref, gpk_ref, xwin_ref, meta_ref, vals_ref, out_ref):
     out_ref[0] += jnp.where(mask, contrib[None, :], 0.0)
 
 
+def _kernel_binary(w_ref, gpk_ref, xwin_ref, meta_ref, out_ref):
+    """Values-free variant: all stored values are 1.0; slot validity rides
+    meta bit 15 (int16 sign).  Used for COO2's R reduction — drops the
+    (ntiles,8,128) f32 values stream entirely (pass-2 traffic −40%)."""
+    t = pl.program_id(0)
+    gpk = gpk_ref[t]
+
+    @pl.when((gpk & 1) == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    m16 = meta_ref[0]
+    m = m16.astype(jnp.int32)
+    t1 = jnp.take_along_axis(xwin_ref[:], (m >> 7) & 7, axis=0)
+    xg = jnp.take_along_axis(t1, m & 127, axis=1)
+    contrib = jnp.sum(jnp.where(m16 < 0, xg, 0.0), axis=0)
+    row = (gpk >> 1) & 7
+    mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) == row
+    out_ref[0] += jnp.where(mask, contrib[None, :], 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("ntiles", "nslices", "n",
-                                             "interpret"))
+                                             "interpret", "binary"))
 def _run(window_ids, gpk, x, meta, vals, *, ntiles, nslices, n,
-         interpret=False):
+         interpret=False, binary=False):
     n_pad = -(-n // WINDOW) * WINDOW
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
     x2 = x.astype(jnp.float32).reshape(-1, LANES)
     ngroups = -(-nslices // SUB)
 
+    tile_spec = pl.BlockSpec((1, SUB, LANES), lambda t, w, g: (t, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((SUB, LANES), lambda t, w, g: (w[t], 0)),
-            pl.BlockSpec((1, SUB, LANES), lambda t, w, g: (t, 0, 0)),
-            pl.BlockSpec((1, SUB, LANES), lambda t, w, g: (t, 0, 0)),
-        ],
+        in_specs=[pl.BlockSpec((SUB, LANES), lambda t, w, g: (w[t], 0)),
+                  tile_spec] + ([] if binary else [tile_spec]),
         out_specs=pl.BlockSpec((1, SUB, LANES),
                                lambda t, w, g: (g[t] >> 4, 0, 0)),
     )
+    args = (window_ids, gpk, x2, meta) + (() if binary else (vals,))
     out = pl.pallas_call(
-        _kernel,
+        _kernel_binary if binary else _kernel,
         out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(window_ids, gpk, x2, meta, vals)
+    )(*args)
     return out
 
 
-def build_sell8w_fn(packed: Sell8W, interpret: bool = False):
+def build_sell8w_fn(packed: Sell8W, interpret: bool = False,
+                    binary: bool = False):
     """Returns a jitted x -> y closure over device-resident tile arrays.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests;
-    the 8-device virtual mesh has no Mosaic backend).
+    the 8-device virtual mesh has no Mosaic backend).  ``binary=True`` drops
+    the values stream — every stored value is treated as 1.0, with slot
+    validity encoded in meta bit 15 (COO2's R reduction).
     """
     window_ids = jnp.asarray(packed.window_ids)
     # host-side precomputation keeps ref arithmetic out of the kernel;
@@ -102,15 +125,26 @@ def build_sell8w_fn(packed: Sell8W, interpret: bool = False):
     first[1:] = (groups[1:] != groups[:-1]).astype(np.int64)
     gpk = jnp.asarray((groups << 4 | (sl % SUB) << 1 | first)
                       .astype(np.int32))
-    meta = jnp.asarray(packed.meta)
-    vals = jnp.asarray(packed.vals)
+    if binary:
+        # validity rides the int16 sign bit (bit 15 set ⇔ value 1.0);
+        # int16 can't shift into the sign bit, so build in uint16 and
+        # reinterpret
+        meta_np = packed.meta.astype(np.int32)
+        valid = (packed.vals != 0)
+        meta = jnp.asarray(
+            ((meta_np | (valid.astype(np.int32) << 15)) & 0xFFFF)
+            .astype(np.uint16).view(np.int16))
+        vals = None
+    else:
+        meta = jnp.asarray(packed.meta)
+        vals = jnp.asarray(packed.vals)
     ntiles, nslices, m, n = (packed.ntiles, packed.nslices, packed.m,
                              packed.n)
 
     def fn(x):
         out = _run(window_ids, gpk, x, meta, vals,
                    ntiles=ntiles, nslices=nslices, n=n,
-                   interpret=interpret)
+                   interpret=interpret, binary=binary)
         return out.reshape(-1)[:m]
 
     return fn
