@@ -20,6 +20,7 @@ from .handle import (
     spmv_destory_handle,
 )
 from .inspector import featurize, choose_method, tune, MatrixFeatures
+from . import io, formats, ops, parallel, bench, utils
 
 __version__ = "0.1.0"
 

@@ -26,13 +26,25 @@ __all__ = ["time_op", "time_spmv"]
 
 
 def time_op(step: Callable, x0, iters: int = 10, repeats: int = 2) -> float:
-    """Seconds per iteration of ``step`` (x -> x-like, data-dependent)."""
-    f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, lambda i, x: step(x), x))
-    jax.block_until_ready(f(x0))          # compile + warm
+    """Seconds per iteration of ``step`` (x -> x-like, data-dependent).
+
+    ``closure_convert`` hoists the step's captured device arrays (format
+    plans can be hundreds of MB) out of the loop program into arguments —
+    otherwise they ship as constants inside the remote compile request,
+    which rejects large payloads (HTTP 413 observed at ~300 MB).
+    """
+    converted, consts = jax.closure_convert(step, x0)
+
+    @jax.jit
+    def f(x, consts):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, x: converted(x, *consts), x)
+
+    jax.block_until_ready(f(x0, consts))          # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x0))
+        jax.block_until_ready(f(x0, consts))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

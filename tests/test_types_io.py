@@ -108,3 +108,28 @@ def test_exact_value_fixture_is_dyadic():
     rng = np.random.default_rng(0)
     v = generate.exact_values(rng, 1000, np.float32)
     assert np.all(v * 8 == np.round(v * 8))
+
+
+def test_bfloat16_end_to_end():
+    import numpy as np
+    import jax.numpy as jnp
+    import ml_dtypes
+    from spmv_tpu.io import generate
+    from spmv_tpu import create_handle, spmv, Method
+    from spmv_tpu.oracle import spmv_golden
+    a = generate.banded(200, 200, 2, seed=1).astype(ml_dtypes.bfloat16)
+    h = create_handle(a, method=Method.SERIAL)
+    x = np.ones(a.n, np.float32)
+    y = np.asarray(spmv(h, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    # values are dyadic k/8 -> exact in bf16; f32 accumulation -> exact
+    np.testing.assert_array_equal(y, ref.astype(np.float32))
+
+
+def test_submodule_api_surface():
+    import spmv_tpu as st
+    assert callable(st.io.mmio.load_matrix)
+    assert callable(st.formats.reorder.rcm_order)
+    assert callable(st.parallel.build_dist_plan)
+    assert callable(st.bench.time_spmv)
+    assert callable(st.utils.roofline_gflops)
