@@ -67,11 +67,12 @@ def _kernel_binary(w_ref, gpk_ref, xwin_ref, meta_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    m16 = meta_ref[0]
-    m = m16.astype(jnp.int32)
+    # int16 vector compares don't lower on this target — do them in int32
+    # (sign-extension keeps the validity bit as the i32 sign)
+    m = meta_ref[0].astype(jnp.int32)
     t1 = jnp.take_along_axis(xwin_ref[:], (m >> 7) & 7, axis=0)
     xg = jnp.take_along_axis(t1, m & 127, axis=1)
-    contrib = jnp.sum(jnp.where(m16 < 0, xg, 0.0), axis=0)
+    contrib = jnp.sum(jnp.where(m < 0, xg, 0.0), axis=0)
     row = (gpk >> 1) & 7
     mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) == row
     out_ref[0] += jnp.where(mask, contrib[None, :], 0.0)
