@@ -50,6 +50,8 @@ BUILTIN_MATRICES = {
     "uniform100k": lambda dtype: _gen("uniform", dtype, 100_000),
     "powerlaw100k": lambda dtype: _gen("powerlaw", dtype, 100_000),
     "uniform10k": lambda dtype: _gen("uniform", dtype, 10_000),
+    "clustered200k": lambda dtype: _gen("clustered", dtype, 200_000),
+    "blocky": lambda dtype: _gen("blocky", dtype, 0),
 }
 
 
@@ -61,6 +63,11 @@ def _gen(kind: str, dtype, m: int) -> CsrMatrix:
         return generate.random_uniform(m, m, 40, dtype=dtype, seed=42)
     if kind == "powerlaw":
         return generate.power_law(m, m, 40 * m, dtype=dtype, seed=2)
+    if kind == "clustered":
+        return generate.clustered(m, m, 32, spread=512, dtype=dtype, seed=9)
+    if kind == "blocky":
+        return generate.block_random(16, 16, blocks_per_row=4, fill=0.4,
+                                     dtype=dtype, seed=5)
     raise ValueError(kind)
 
 
@@ -174,7 +181,8 @@ def _external_baselines(name, a, x, golden, iters, out) -> List[str]:
 
 _DEFAULT_METHODS = [Method.SERIAL, Method.PARALLEL, Method.BALANCED,
                     Method.BALANCED2, Method.BALANCED_YID,
-                    Method.SELL_C_SIGMA, Method.CSR5, Method.AUTO]
+                    Method.SELL_C_SIGMA, Method.CSR5, Method.DIA,
+                    Method.BCSR, Method.AUTO]
 
 
 def main(argv: Optional[List[str]] = None) -> int:
