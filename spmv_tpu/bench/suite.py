@@ -121,10 +121,15 @@ def bench_matrix(name: str, a: CsrMatrix,
                   f"handle failed: {e}", file=out, flush=True)
             continue
         predeal_ms = (time.perf_counter() - t0) * 1e3
-        y = np.asarray(h._bound(xj))
-        rmse = _rmse(y, golden)
-        dts = [time_spmv(h._bound, xj, iters=iters, repeats=1)
-               for _ in range(repeats)]
+        try:
+            y = np.asarray(h._bound(xj))
+            rmse = _rmse(y, golden)
+            dts = [time_spmv(h._bound, xj, iters=iters, repeats=1)
+                   for _ in range(repeats)]
+        except Exception as e:  # noqa: BLE001 — keep sweeping
+            print(f"# {name},{h.method_name}: exec/timing failed: "
+                  f"{str(e).splitlines()[0][:120]}", file=out, flush=True)
+            continue
         avg, best = float(np.mean(dts)), float(np.min(dts))
         row = _row(name, h.method_name, VECTORIZED_NAMES[h.vectorized],
                    threads, a.nnz, rmse, predeal_ms, avg * 1e3,

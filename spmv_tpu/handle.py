@@ -230,6 +230,11 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             "fill": b.fill,
         }
     if method == Method.DIA:
+        ndiags, fill = dia_fmt.dia_profile(a)
+        if a.nnz and (fill < 0.02 or ndiags > 4096):
+            raise ValueError(
+                f"DIA unprofitable: {ndiags} diagonals at fill {fill:.3f} "
+                f"(would stream {ndiags * a.m * 4 / 1e6:.0f} MB per exec)")
         d = dia_fmt.pack_dia(a)
         return {
             "data": dev(d.data),

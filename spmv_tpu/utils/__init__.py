@@ -2,5 +2,7 @@
 
 from .cache import enable_compile_cache
 from .perfmodel import bytes_moved, roofline_gflops
+from .profiling import trace, Stopwatch
 
-__all__ = ["enable_compile_cache", "bytes_moved", "roofline_gflops"]
+__all__ = ["enable_compile_cache", "bytes_moved", "roofline_gflops",
+           "trace", "Stopwatch"]
