@@ -35,7 +35,7 @@ import numpy as np
 
 from ..types import CsrMatrix, Method, METHOD_NAMES, VECTORIZED_NAMES
 from ..oracle import spmv_golden
-from .timing import time_spmv
+from .timing import time_spmv, time_spmv_samples
 
 __all__ = ["BUILTIN_MATRICES", "load_any", "bench_matrix", "main",
            "CSV_HEADER"]
@@ -124,8 +124,8 @@ def bench_matrix(name: str, a: CsrMatrix,
         try:
             y = np.asarray(h._bound(xj))
             rmse = _rmse(y, golden)
-            dts = [time_spmv(h._bound, xj, iters=iters, repeats=1)
-                   for _ in range(repeats)]
+            dts = time_spmv_samples(h._bound, xj, iters=iters,
+                                    repeats=repeats)
         except Exception as e:  # noqa: BLE001 — keep sweeping
             print(f"# {name},{h.method_name}: exec/timing failed: "
                   f"{str(e).splitlines()[0][:120]}", file=out, flush=True)
@@ -163,13 +163,12 @@ def _external_baselines(name, a, x, golden, iters, out) -> List[str]:
         import jax.numpy as jnp
         from jax.experimental import sparse as jsparse
         t0 = time.perf_counter()
-        bcoo = jsparse.BCOO.fromdense(jnp.zeros(0)) if False else \
-            jsparse.BCOO((jnp.asarray(a.vals),
+        bcoo = jsparse.BCOO((jnp.asarray(a.vals),
                           jnp.stack([jnp.asarray(
                               np.repeat(np.arange(a.m, dtype=np.int32),
                                         a.row_lengths)),
                               jnp.asarray(a.colidx)], axis=1)),
-                         shape=(a.m, a.n))
+                            shape=(a.m, a.n))
         predeal_ms = (time.perf_counter() - t0) * 1e3
         fn = lambda xx: bcoo @ xx
         y = np.asarray(fn(jnp.asarray(x)))

@@ -22,11 +22,13 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["time_op", "time_spmv"]
+__all__ = ["time_op", "time_op_samples", "time_spmv",
+           "time_spmv_samples"]
 
 
-def time_op(step: Callable, x0, iters: int = 10, repeats: int = 2) -> float:
-    """Seconds per iteration of ``step`` (x -> x-like, data-dependent).
+def time_op_samples(step: Callable, x0, iters: int = 10,
+                    repeats: int = 2) -> list:
+    """Per-repeat seconds/iteration samples from ONE traced executable.
 
     ``closure_convert`` hoists the step's captured device arrays (format
     plans can be hundreds of MB) out of the loop program into arguments —
@@ -47,13 +49,18 @@ def time_op(step: Callable, x0, iters: int = 10, repeats: int = 2) -> float:
         # even with hoisted constants; fall back to marginal chained-dispatch
         # timing (dedup-proof because every call consumes the previous
         # output; the N-scaling difference cancels fixed costs).
-        return _marginal_chain_time(step, x0, iters)
-    best = float("inf")
+        return [_marginal_chain_time(step, x0, iters)] * repeats
+    samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         jax.block_until_ready(f(x0, consts))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        samples.append((time.perf_counter() - t0) / iters)
+    return samples
+
+
+def time_op(step: Callable, x0, iters: int = 10, repeats: int = 2) -> float:
+    """Best seconds/iteration of ``step`` (x -> x-like, data-dependent)."""
+    return min(time_op_samples(step, x0, iters=iters, repeats=repeats))
 
 
 def _marginal_chain_time(step, x0, iters: int) -> float:
@@ -84,3 +91,15 @@ def time_spmv(spmv_fn: Callable, x0, iters: int = 10,
         return y * scale
 
     return time_op(step, x0, iters=iters, repeats=repeats)
+
+
+def time_spmv_samples(spmv_fn: Callable, x0, iters: int = 10,
+                      repeats: int = 3) -> list:
+    """All per-repeat samples (one compile) — for avg+best reporting."""
+    def step(x):
+        y = spmv_fn(x)
+        scale = jnp.exp2(-jnp.ceil(jnp.log2(jnp.maximum(
+            jnp.max(jnp.abs(y)), 1e-30))))
+        return y * scale
+
+    return time_op_samples(step, x0, iters=iters, repeats=repeats)

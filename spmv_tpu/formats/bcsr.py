@@ -45,7 +45,7 @@ class BcsrMatrix:
     nblocks: int
     block_rows: np.ndarray   # (nblocks,) int32, sorted
     block_cols: np.ndarray   # (nblocks,) int32
-    blocks: np.ndarray       # (nblocks, 128, 128) float32
+    blocks: np.ndarray       # (nblocks, 128, 128) input dtype (bf16 → f32)
 
     @property
     def fill(self) -> float:
@@ -53,6 +53,12 @@ class BcsrMatrix:
 
 
 def pack_bcsr(a: CsrMatrix, max_blocks: int = None) -> BcsrMatrix:
+    """Dtype-preserving (f64 stays f64 — reference parity; bf16 packs f32).
+
+    ``max_blocks`` guards the dense-block allocation (64-512 KB per block):
+    scattered matrices can touch one block per few nonzeros, turning this
+    into a multi-GB densification.
+    """
     rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
     cols = a.colidx.astype(np.int64)
     br = rows // BLOCK
@@ -62,8 +68,9 @@ def pack_bcsr(a: CsrMatrix, max_blocks: int = None) -> BcsrMatrix:
     uniq, inv = np.unique(key, return_inverse=True)
     if max_blocks is not None and len(uniq) > max_blocks:
         raise ValueError(f"bcsr: {len(uniq)} blocks exceeds {max_blocks}")
-    blocks = np.zeros((len(uniq), BLOCK, BLOCK), dtype=np.float32)
-    blocks[inv, rows % BLOCK, cols % BLOCK] = a.vals.astype(np.float32)
+    dtype = np.float32 if np.dtype(a.dtype).itemsize <= 4 else np.float64
+    blocks = np.zeros((len(uniq), BLOCK, BLOCK), dtype=dtype)
+    blocks[inv, rows % BLOCK, cols % BLOCK] = a.vals.astype(dtype)
     return BcsrMatrix(
         m=a.m, n=a.n, nnz_stored=a.nnz, nblocks=len(uniq),
         block_rows=(uniq // ncb).astype(INT_DTYPE),

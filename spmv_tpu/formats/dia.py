@@ -34,7 +34,7 @@ class DiaMatrix:
         return self.nnz_stored / max(self.data.size, 1)
 
 
-def dia_profile(a: CsrMatrix, max_diags: int = 1024):
+def dia_profile(a: CsrMatrix):
     """(ndiags, fill) without building the format."""
     if a.nnz == 0:
         return 0, 0.0

@@ -89,7 +89,7 @@ def _exec_scan_tiled(colidx_pad, vals_pad, row_start, row_end, x, tile):
 @functools.partial(jax.jit, static_argnames=("m", "nblock_rows"))
 def _exec_bcsr(blocks, block_rows, block_cols, x, m, nblock_rows):
     return xla_csr.bcsr_spmv(blocks, block_rows, block_cols,
-                             x.astype(jnp.float32), m=m,
+                             x.astype(blocks.dtype), m=m,
                              nblock_rows=nblock_rows)
 
 
@@ -221,6 +221,13 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
         }
     if method == Method.BCSR:
         from .formats import bcsr as bcsr_fmt
+        nblocks, fill = bcsr_fmt.bcsr_profile(a)
+        if a.nnz and (fill < 0.02
+                      or nblocks * bcsr_fmt.BLOCK ** 2 * 8 > 4e9):
+            raise ValueError(
+                f"BCSR unprofitable: {nblocks} blocks at fill {fill:.4f} "
+                f"(densification would allocate "
+                f"{nblocks * bcsr_fmt.BLOCK**2 * 4 / 1e9:.1f}+ GB)")
         b = bcsr_fmt.pack_bcsr(a)
         return {
             "blocks": dev(b.blocks),

@@ -46,8 +46,10 @@ def load_native() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        # <= so fresh checkouts (equal mtimes) rebuild for the local ISA —
+        # a foreign -march=native binary would SIGILL, not fall back
         if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                os.path.getmtime(_SO) <= os.path.getmtime(_SRC)):
             if not _build():
                 return None
         try:

@@ -121,10 +121,12 @@ def dia_spmv(data, x, *, offsets: tuple, m: int, n: int):
     row kernels treat bands like any rows); this is the TPU-native
     specialization the inspector picks for high diagonal fill.
     """
+    if not offsets:                      # empty matrix: y = 0
+        return jnp.zeros(m, x.dtype)
     omin = min(offsets)
     omax = max(offsets)
     pad_l = max(0, -omin)
-    pad_r = max(0, m + omax - n) if offsets else 0
+    pad_r = max(0, m + omax - n)
     xpad = jnp.concatenate([
         jnp.zeros(pad_l, x.dtype), x, jnp.zeros(max(pad_r, 0), x.dtype)])
     acc = jnp.zeros(m, x.dtype)
@@ -149,8 +151,9 @@ def bcsr_spmv(blocks, block_rows, block_cols, x, *, m: int,
         x = jnp.concatenate([x, jnp.zeros(n_pad - x.shape[0], x.dtype)])
     x2 = x.reshape(-1, 128)
     xb = x2[block_cols]                                   # (nb, 128) gather
+    acc_t = blocks.dtype if blocks.dtype == jnp.float64 else jnp.float32
     partial = jnp.einsum("bij,bj->bi", blocks, xb,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=acc_t)
     partial = jax.lax.optimization_barrier(partial)
     y2 = jax.ops.segment_sum(partial, block_rows,
                              num_segments=nblock_rows,

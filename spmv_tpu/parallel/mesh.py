@@ -256,6 +256,8 @@ def _build_dia_executable(plan: DistDiaPlan):
     def shard_body(data, x):
         if x_sharded:
             x = jax.lax.all_gather(x, axis, tiled=True)
+        if not offsets:                  # empty matrix: y = 0
+            return jnp.zeros((1, mr), x.dtype)
         # shard d computes rows [d*mr, (d+1)*mr): global row i = d*mr + il,
         # so its x offsets shift by +d*mr relative to the local row index.
         dev = jax.lax.axis_index(axis)
