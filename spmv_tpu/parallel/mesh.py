@@ -44,6 +44,7 @@ from ..ops import xla_csr
 
 __all__ = ["DistSpmvPlan", "build_dist_plan", "dist_spmv",
            "DistDiaPlan", "build_dist_dia_plan", "dist_dia_spmv",
+           "DistSell8WPlan", "build_dist_sell8w_plan", "dist_sell8w_spmv",
            "make_mesh_1d"]
 
 
@@ -299,4 +300,140 @@ def dist_dia_spmv(plan: DistDiaPlan, x) -> jax.Array:
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
     y = plan._exec(plan.data, x)
+    return y[: plan.m]
+
+
+# ---------------------------------------------------------------------------
+# Distributed SELL-8W — the Pallas fast path across the mesh.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DistSell8WPlan:
+    """Row-blocked SELL-8W over a 1-D mesh: every shard owns ``mr`` rows
+    (128-aligned, equal across shards so one Pallas program serves all) and
+    runs the windowed-gather kernel (ops/pallas_sell.py) against replicated
+    or all-gathered x.  Shard tile streams are zero-padded to a common
+    length; padding tiles target the last slice group with first=0 and zero
+    values, contributing nothing."""
+
+    mesh: Mesh
+    axis: str
+    ndev: int
+    m: int
+    n: int
+    nnz: int
+    mr: int
+    ntiles: int                 # common (padded) tiles per shard
+    nslices: int                # per shard
+    window_ids: jax.Array       # (ndev, ntiles) sharded
+    gpk: jax.Array              # (ndev, ntiles)
+    meta: jax.Array             # (ndev, ntiles, 8, 128)
+    vals: jax.Array             # (ndev, ntiles, 8, 128)
+    x_mode: str
+    max_pad: float = 0.0
+    _exec: object = None
+
+    def __call__(self, x) -> jax.Array:
+        return dist_sell8w_spmv(self, x)
+
+
+def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
+                           x_mode: str = "replicated",
+                           max_pad_ratio: float = None,
+                           interpret: bool = False) -> DistSell8WPlan:
+    from ..formats.sell8w import pack_sell8w, SUB, LANES
+    if x_mode not in ("replicated", "allgather"):
+        raise ValueError(f"unknown x_mode {x_mode!r}")
+    ndev = mesh.shape[axis]
+    mr = max(-(-a.m // (ndev * LANES)) * LANES, LANES)
+    rowptr64 = a.rowptr.astype(np.int64)
+
+    packs = []
+    for d in range(ndev):
+        r0 = min(d * mr, a.m)
+        r1 = min(r0 + mr, a.m)
+        local_rowptr = np.zeros(mr + 1, dtype=np.int64)
+        if r1 > r0:
+            seg = rowptr64[r0:r1 + 1] - rowptr64[r0]
+            local_rowptr[: r1 - r0 + 1] = seg
+            local_rowptr[r1 - r0 + 1:] = seg[-1]
+        p0, p1 = int(rowptr64[r0]), int(rowptr64[r1])
+        local = CsrMatrix(mr, a.n, local_rowptr.astype(INT_DTYPE),
+                          a.colidx[p0:p1], a.vals[p0:p1])
+        packs.append(pack_sell8w(local, max_pad_ratio=max_pad_ratio))
+
+    ntiles = max(p.ntiles for p in packs)
+    nslices = mr // LANES
+    ngroups = -(-nslices // SUB)
+    win = np.zeros((ndev, ntiles), dtype=INT_DTYPE)
+    gpk = np.zeros((ndev, ntiles), dtype=INT_DTYPE)
+    meta = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.int16)
+    vals = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.float32)
+    for d, p in enumerate(packs):
+        sl = p.slice_ids.astype(np.int64)
+        groups = sl // SUB
+        first = np.ones(p.ntiles, dtype=np.int64)
+        first[1:] = (groups[1:] != groups[:-1]).astype(np.int64)
+        g = (groups << 4 | (sl % SUB) << 1 | first).astype(np.int32)
+        win[d, : p.ntiles] = p.window_ids
+        gpk[d, : p.ntiles] = g
+        meta[d, : p.ntiles] = p.meta
+        vals[d, : p.ntiles] = p.vals
+        # padding tiles: target the last group, not first, zero values
+        if p.ntiles < ntiles:
+            gpk[d, p.ntiles:] = (ngroups - 1) << 4
+
+    sh = lambda arr: jax.device_put(arr, NamedSharding(mesh, P(axis)))
+    plan = DistSell8WPlan(
+        mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
+        mr=mr, ntiles=ntiles, nslices=nslices,
+        window_ids=sh(win), gpk=sh(gpk), meta=sh(meta), vals=sh(vals),
+        x_mode=x_mode,
+        max_pad=max(p.pad_ratio for p in packs) if packs else 0.0,
+    )
+    plan._exec = _build_sell8w_executable(plan, interpret)
+    return plan
+
+
+def _build_sell8w_executable(plan: DistSell8WPlan, interpret: bool):
+    from ..ops.pallas_sell import _run
+    mesh, axis = plan.mesh, plan.axis
+    x_sharded = plan.x_mode == "allgather"
+    ntiles, nslices, n, mr = plan.ntiles, plan.nslices, plan.n, plan.mr
+
+    def shard_body(win, gpk, meta, vals, x):
+        if x_sharded:
+            x = jax.lax.all_gather(x, axis, tiled=True)
+        out = _run(win[0], gpk[0], x, meta[0], vals[0],
+                   ntiles=ntiles, nslices=nslices, n=n,
+                   interpret=interpret)
+        return out.reshape(-1)[None, :mr]
+
+    smap = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  P(axis) if x_sharded else P()),
+        out_specs=P(axis),
+        check_vma=False,   # pallas_call outputs carry no vma info
+    )
+
+    @jax.jit
+    def run(win, gpk, meta, vals, x):
+        return smap(win, gpk, meta, vals, x).reshape(-1)
+
+    return run
+
+
+def dist_sell8w_spmv(plan: DistSell8WPlan, x) -> jax.Array:
+    x = jnp.asarray(x)
+    if x.shape != (plan.n,):
+        raise ValueError(f"x has shape {x.shape}, expected ({plan.n},)")
+    if plan.x_mode == "allgather":
+        n_pad = -(-plan.n // plan.ndev) * plan.ndev
+        if n_pad != plan.n:
+            x = jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
+        x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
+    else:
+        x = jax.device_put(x, NamedSharding(plan.mesh, P()))
+    y = plan._exec(plan.window_ids, plan.gpk, plan.meta, plan.vals, x)
     return y[: plan.m]

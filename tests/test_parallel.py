@@ -55,3 +55,32 @@ def test_dist_dia(matrices, x_mode):
         y = np.asarray(dist_dia_spmv(plan, x))
         np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-10,
                                    atol=1e-12, err_msg=f"{name} {x_mode}")
+
+
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather"])
+def test_dist_sell8w(x_mode):
+    from spmv_tpu.parallel import build_dist_sell8w_plan, dist_sell8w_spmv
+    a = generate.clustered(1500, 1500, 20, spread=200,
+                           dtype=np.float32, seed=6)
+    mesh = make_mesh_1d(4)
+    plan = build_dist_sell8w_plan(a, mesh, x_mode=x_mode, interpret=True)
+    x = generate.make_x(a.n, np.float32, kind="normal", seed=5)
+    y = np.asarray(dist_sell8w_spmv(plan, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6,
+                               err_msg=x_mode)
+
+
+def test_dist_sell8w_uneven_rows():
+    from spmv_tpu.parallel import build_dist_sell8w_plan, dist_sell8w_spmv
+    # m not divisible by ndev*128; last shard mostly padding
+    a = generate.clustered(777, 900, 10, spread=150,
+                           dtype=np.float32, seed=7)
+    mesh = make_mesh_1d(8)
+    plan = build_dist_sell8w_plan(a, mesh, interpret=True)
+    x = generate.make_x(a.n, np.float32, kind="normal", seed=3)
+    y = np.asarray(dist_sell8w_spmv(plan, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
