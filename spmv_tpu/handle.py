@@ -243,6 +243,16 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 f"DIA unprofitable: {ndiags} diagonals at fill {fill:.3f} "
                 f"(would stream {ndiags * a.m * 4 / 1e6:.0f} MB per exec)")
         d = dia_fmt.pack_dia(a)
+        if (vectorized != VectorizedWay.NONE
+                and np.dtype(a.dtype) != np.float64
+                and jax.default_backend() == "tpu"):
+            # Pallas DIA: x resident in VMEM, read once (ops/pallas_dia.py);
+            # falls back to the XLA shifted-stream plan out of its envelope.
+            from .ops.pallas_dia import MAX_DIAGS, MAX_N
+            if 0 < len(d.offsets) <= MAX_DIAGS and a.n <= MAX_N:
+                return {"dia_pallas": d, "fill": d.fill,
+                        "offsets": tuple(int(o) for o in d.offsets),
+                        "n": a.n}
         return {
             "data": dev(d.data),
             "offsets": tuple(int(o) for o in d.offsets),
@@ -294,6 +304,9 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
                                     p["inv_pos"], x, p["nslices"],
                                     p["identity_order"])
     if m == Method.DIA:
+        if "dia_pallas" in p:
+            from .ops.pallas_dia import build_dia_fn
+            return build_dia_fn(p["dia_pallas"])
         return lambda x: _exec_dia(p["data"], x, p["offsets"], m_rows,
                                    p["n"])
     if m == Method.BCSR:

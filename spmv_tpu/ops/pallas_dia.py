@@ -1,0 +1,119 @@
+"""Pallas DIA kernel: banded SpMV with x read once.
+
+The XLA DIA plan (ops/xla_csr.dia_spmv) re-reads a shifted copy of x per
+diagonal — with bf16-compressed diagonals the x traffic dominates (e.g.
+banded1m bw=4: 18 MB data + 36 MB x re-reads).  This kernel keeps the whole
+``x2 = x.reshape(-1, 128)`` resident in VMEM (n ≤ ~3M f32) and builds each
+diagonal's shifted view on-chip:
+
+* offset o = q·128 + r decomposes into a static sublane shift (two dynamic
+  row-slices of x2, the second one row below) and a static lane roll
+  (``pltpu.roll`` + lane select) — zero HBM re-reads;
+* out-of-range row slices are clamped; the garbage they read is multiplied
+  by the structural zeros pack_dia stores outside the band, so edges stay
+  exact;
+* diagonal data streams as (ndiags, 16, 128) blocks (bf16-ready tiling).
+
+Traffic: data once + x once + y once — the roofline for this format.
+Gated to ndiags ≤ 33 (unrolled) and n ≤ VMEM; the XLA plan covers the rest.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_dia_fn", "MAX_DIAGS", "MAX_N"]
+
+LANES = 128
+ROWS = 16               # rows of x2 per grid step (2048 matrix rows)
+MAX_DIAGS = 33
+MAX_N = 3_000_000       # x2 must fit VMEM in f32
+
+
+def _make_kernel(offsets, ndiags, pad_top):
+    qr = [divmod(int(o), LANES) for o in offsets]   # python divmod: r in [0,128)
+
+    def kernel(x_ref, data_ref, out_ref):
+        blk = pl.program_id(0)
+        acc = jnp.zeros((ROWS, LANES), jnp.float32)
+        for k, (q, r) in enumerate(qr):
+            # x_ref is padded with pad_top zero guard rows on top (and
+            # enough at the bottom), so starts are always in range —
+            # no clamping, which would silently shift boundary blocks.
+            start = blk * ROWS + q + pad_top
+            base = x_ref[pl.ds(start, ROWS), :]
+            if r == 0:
+                xs = base
+            else:
+                base2 = x_ref[pl.ds(start + 1, ROWS), :]
+                # roll by -r ≡ roll by 128-r (pltpu.roll rejects negatives)
+                rolled = pltpu.roll(base, LANES - r, 1)
+                rolled2 = pltpu.roll(base2, LANES - r, 1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+                xs = jnp.where(lane < LANES - r, rolled, rolled2)
+            acc = acc + data_ref[k].astype(jnp.float32) * xs
+        out_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "m", "n", "interpret"))
+def _run(data3, x, *, offsets, m, n, interpret=False):
+    ndiags = len(offsets)
+    blk_rows = ROWS * LANES
+    m_pad = -(-m // blk_rows) * blk_rows
+    # zero guard rows so every (start, start+1) slice is in range without
+    # clamping: top covers the most negative q, bottom the most positive
+    q_min = min(o // LANES for o in offsets)
+    q_max = max(o // LANES for o in offsets)
+    pad_top = max(0, -q_min)
+    s_min = m_pad // LANES + max(q_max, 0) + 2
+    n_pad = max(-(-n // LANES), s_min) * LANES
+    x32 = x.astype(jnp.float32)
+    x32 = jnp.concatenate([jnp.zeros(pad_top * LANES, jnp.float32),
+                           x32, jnp.zeros(n_pad - n, jnp.float32)])
+    x2 = x32.reshape(-1, LANES)
+    nblocks = m_pad // blk_rows
+
+    out = pl.pallas_call(
+        _make_kernel(offsets, ndiags, pad_top),
+        out_shape=jax.ShapeDtypeStruct((nblocks * ROWS, LANES), jnp.float32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # x2 full
+            pl.BlockSpec((ndiags, ROWS, LANES),
+                         lambda b: (0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((ROWS, LANES), lambda b: (b, 0)),
+        interpret=interpret,
+    )(x2, data3)
+    return out.reshape(-1)[:m]
+
+
+def build_dia_fn(dia, interpret: bool = False):
+    """x -> y closure for a DiaMatrix; raises ValueError when out of the
+    kernel's envelope (caller falls back to the XLA plan)."""
+    import numpy as np
+    offsets = tuple(int(o) for o in dia.offsets)
+    if len(offsets) == 0 or len(offsets) > MAX_DIAGS:
+        raise ValueError(f"pallas DIA: ndiags {len(offsets)} out of range")
+    if dia.n > MAX_N:
+        raise ValueError(f"pallas DIA: n={dia.n} exceeds VMEM budget")
+    blk_rows = ROWS * LANES
+    m_pad = -(-dia.m // blk_rows) * blk_rows
+    data = np.zeros((len(offsets), m_pad), dtype=dia.data.dtype)
+    data[:, : dia.m] = dia.data
+    data3 = jnp.asarray(data.reshape(len(offsets), -1, LANES))
+    m, n = dia.m, dia.n
+
+    def fn(x):
+        return _run(data3, x, offsets=offsets, m=m, n=n,
+                    interpret=interpret)
+
+    return fn

@@ -102,3 +102,48 @@ def test_single_megarow():
     vals = generate.exact_values(rng, rows.size)
     from spmv_tpu.types import CsrMatrix
     _check(CsrMatrix.from_coo(m, n, rows, cols, vals))
+
+
+def test_pallas_dia_kernel():
+    from spmv_tpu.formats.dia import pack_dia
+    from spmv_tpu.ops.pallas_dia import build_dia_fn
+    for name, a in [
+        ("banded", generate.banded(3000, 3000, 4, seed=1).astype(np.float32)),
+        ("banded-neg-wide", generate.banded(2500, 2500, 130, seed=2,
+                                            exact=False).astype(np.float32)),
+        ("rect", generate.banded(500, 900, 3, seed=3).astype(np.float32)),
+    ]:
+        d = pack_dia(a)
+        if d.data.shape[0] > 33:
+            continue
+        fn = build_dia_fn(d, interpret=True)
+        x = np.random.default_rng(0).standard_normal(a.n).astype(np.float32)
+        y = np.asarray(fn(x))
+        ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6,
+                                   err_msg=name)
+
+
+def test_pallas_dia_big_offsets():
+    # offsets beyond one 128-block in both directions (q != 0 paths)
+    import numpy as np
+    from spmv_tpu.types import CsrMatrix
+    from spmv_tpu.formats.dia import pack_dia
+    from spmv_tpu.ops.pallas_dia import build_dia_fn
+    m = 2000
+    rows, cols, vals = [], [], []
+    rng = np.random.default_rng(5)
+    for off in (-300, -129, -1, 0, 200, 513):
+        r = np.arange(max(0, -off), min(m, m - off))
+        rows.append(r); cols.append(r + off)
+        vals.append(rng.standard_normal(len(r)))
+    a = CsrMatrix.from_coo(m, m, np.concatenate(rows), np.concatenate(cols),
+                           np.concatenate(vals).astype(np.float32))
+    d = pack_dia(a)
+    fn = build_dia_fn(d, interpret=True)
+    x = rng.standard_normal(m).astype(np.float32)
+    y = np.asarray(fn(x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
