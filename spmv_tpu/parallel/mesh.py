@@ -206,6 +206,14 @@ class DistDiaPlan:
     The banded analog of the reference's NUMA row-blocking (numa.c:277-304):
     where the general plan balances nnz, DIA rows carry uniform work so the
     split is uniform in rows.
+
+    ``x_mode="halo"`` is the true halo exchange SURVEY.md §7 step 6 calls
+    for: x is sharded like the rows and each shard ppermutes only the band
+    edges (max |offset| elements) to its neighbors — communication shrinks
+    from O(n) per chip (allgather) to O(bandwidth), riding neighbor ICI
+    links.  Wrap-around edge values are harmless: the diagonal data stores
+    structural zeros outside the band.  Requires m == n and
+    max |offset| ≤ n/ndev.
     """
 
     mesh: Mesh
@@ -227,11 +235,19 @@ class DistDiaPlan:
 def build_dist_dia_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
                         x_mode: str = "replicated") -> DistDiaPlan:
     from ..formats.dia import pack_dia
-    if x_mode not in ("replicated", "allgather"):
+    if x_mode not in ("replicated", "allgather", "halo"):
         raise ValueError(f"unknown x_mode {x_mode!r}")
     d = pack_dia(a)
     ndev = mesh.shape[axis]
     mr = max(-(-a.m // ndev), 1)
+    if x_mode == "halo":
+        if a.m != a.n:
+            raise ValueError("halo mode requires a square matrix")
+        h = max((max(abs(int(o)) for o in d.offsets), 1)) \
+            if len(d.offsets) else 1
+        if h > mr:
+            raise ValueError(
+                f"halo {h} exceeds shard width {mr}; use allgather")
     data = np.zeros((ndev, len(d.offsets), mr), dtype=d.data.dtype)
     for dev in range(ndev):
         r0 = dev * mr
@@ -253,6 +269,38 @@ def _build_dia_executable(plan: DistDiaPlan):
     mesh, axis = plan.mesh, plan.axis
     x_sharded = plan.x_mode == "allgather"
     mr, n, offsets = plan.mr, plan.n, plan.offsets
+    ndev = plan.ndev
+
+    if plan.x_mode == "halo":
+        h = max(max(abs(int(o)) for o in offsets), 1) if offsets else 1
+        fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+        bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+        def shard_body(data, x):
+            if not offsets:
+                return jnp.zeros((1, mr), x.dtype)
+            xb = x[0]                                   # (mx,) local block
+            # band edges ride neighbor links only (O(h) words per shard)
+            from_left = jax.lax.ppermute(xb[-h:], axis, fwd)
+            from_right = jax.lax.ppermute(xb[:h], axis, bwd)
+            x_ext = jnp.concatenate([from_left, xb, from_right])
+            acc = jnp.zeros(mr, x.dtype)
+            for k, o in enumerate(offsets):
+                seg = jax.lax.dynamic_slice_in_dim(x_ext, h + o, mr)
+                acc = acc + data[0, k] * seg
+            return acc[None, :]
+
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+
+        @jax.jit
+        def run(data, x):
+            return smap(data, x.reshape(ndev, -1)).reshape(-1)
+
+        return run
 
     def shard_body(data, x):
         if x_sharded:
@@ -292,8 +340,9 @@ def dist_dia_spmv(plan: DistDiaPlan, x) -> jax.Array:
     x = jnp.asarray(x)
     if x.shape != (plan.n,):
         raise ValueError(f"x has shape {x.shape}, expected ({plan.n},)")
-    if plan.x_mode == "allgather":
-        n_pad = -(-plan.n // plan.ndev) * plan.ndev
+    if plan.x_mode in ("allgather", "halo"):
+        n_pad = (plan.mr * plan.ndev if plan.x_mode == "halo"
+                 else -(-plan.n // plan.ndev) * plan.ndev)
         if n_pad != plan.n:
             x = jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))

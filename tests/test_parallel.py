@@ -44,11 +44,13 @@ def test_dist_f32():
     np.testing.assert_allclose(y, ref, rtol=2e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("x_mode", ["replicated", "allgather"])
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather", "halo"])
 def test_dist_dia(matrices, x_mode):
     from spmv_tpu.parallel import build_dist_dia_plan, dist_dia_spmv
     for name in ("banded", "banded_rect"):
         a = matrices[name]
+        if x_mode == "halo" and a.m != a.n:
+            continue
         mesh = make_mesh_1d(8)
         plan = build_dist_dia_plan(a, mesh, x_mode=x_mode)
         x = generate.make_x(a.n, a.dtype, kind="normal", seed=4)
@@ -84,3 +86,14 @@ def test_dist_sell8w_uneven_rows():
     ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
     scale = max(abs(ref).max(), 1)
     np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
+
+
+def test_dist_dia_halo_rejects():
+    from spmv_tpu.parallel import build_dist_dia_plan
+    import pytest as _pytest
+    a = generate.banded(200, 350, 3)          # rectangular
+    with _pytest.raises(ValueError):
+        build_dist_dia_plan(a, make_mesh_1d(8), x_mode="halo")
+    b = generate.banded(64, 64, 20)           # band wider than shard
+    with _pytest.raises(ValueError):
+        build_dist_dia_plan(b, make_mesh_1d(8), x_mode="halo")
