@@ -46,6 +46,7 @@ CSV_HEADER = ("matrix,method,vectorized,threads,nnz,rmse,predeal_ms,"
 #: Synthetic stand-ins for the BASELINE.md configs (no SuiteSparse egress).
 BUILTIN_MATRICES = {
     "banded1m": lambda dtype: _gen("banded", dtype, 1_000_000),
+    "banded4m": lambda dtype: _gen("banded", dtype, 4_000_000),
     "banded100k": lambda dtype: _gen("banded", dtype, 100_000),
     "uniform100k": lambda dtype: _gen("uniform", dtype, 100_000),
     "powerlaw100k": lambda dtype: _gen("powerlaw", dtype, 100_000),
