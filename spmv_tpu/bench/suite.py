@@ -202,6 +202,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--external", action="store_true",
                    help="also run ScipyCsr/JaxBcoo baselines")
+    p.add_argument("--out", default=None,
+                   help="also append CSV rows to this file")
     args = p.parse_args(argv)
 
     if args.dtype == "bfloat16":
@@ -218,10 +220,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..utils import enable_compile_cache
     enable_compile_cache()
     print(CSV_HEADER, flush=True)
+    all_rows = []
     for spec in args.matrices:
         name, a = load_any(spec, dtype=dtype)
-        bench_matrix(name, a, methods, iters=args.iters,
-                     repeats=args.repeats, external=args.external)
+        all_rows += bench_matrix(name, a, methods, iters=args.iters,
+                                 repeats=args.repeats,
+                                 external=args.external)
+    if args.out:
+        with open(args.out, "a") as f:
+            for row in all_rows:
+                f.write(row + "\n")
     return 0
 
 

@@ -12,12 +12,15 @@ renamed copy — see SURVEY.md §2.3):
 
 =================  ==========================================================
 Method_Serial      gather + sorted segment-sum (the naive jnp program)
-Method_Parallel    ELL row-slices in natural order (sell machinery, σ=1)
+Method_Parallel    chunked ELL slices in natural order (sell machinery, σ=1)
 Method_Balanced    two-level equal-nnz tile scan + carry scan
 Method_Balanced2   equal-nnz tile scan, tile sized for mega-row splitting
 Method_BalancedYid single global prefix scan (exact-nnz split, zero fix-ups)
-Method_SellCSigma  σ-sorted, depth-bucketed SELL slices, C=128 lanes
-Method_Csr5Spmv    tiled AoSoA segmented sum (MXU one-hot partials)
+Method_SellCSigma  Pallas windowed-gather SELL-8W (VPU, f32, TPU) or
+                   chunked SELL-C-σ (XLA fallback)
+Method_Csr5Spmv    two-pass COO2 Pallas (VPU, f32, TPU) or tiled scan (XLA)
+Method_Dia         banded shifted-stream FMAs (Pallas or XLA, zero gathers)
+Method_Bcsr        128×128 dense blocks via MXU batched matmuls
 Method_Auto        inspector picks one of the above from matrix features
 =================  ==========================================================
 """
@@ -141,6 +144,19 @@ class SpmvHandle:
     @property
     def method_name(self) -> str:
         return METHOD_NAMES[self.method]
+
+    def __repr__(self) -> str:
+        extra = ""
+        if "sell8w" in self.plan:
+            extra = f", pallas=sell8w pad={self.plan['pad_ratio']:.2f}"
+        elif "coo2" in self.plan:
+            extra = (f", pallas=coo2 pad1={self.plan['pad1']:.2f} "
+                     f"pad2={self.plan['pad2']:.2f}")
+        elif "dia_pallas" in self.plan:
+            extra = ", pallas=dia"
+        return (f"SpmvHandle({self.method_name}, {self.m}x{self.n}, "
+                f"nnz={self.nnz}, dtype={np.dtype(self.dtype).name}"
+                f"{extra})")
 
     def clear(self) -> None:
         """Drop device buffers (reference spmv_clear_handle, common.c:31-41)."""
