@@ -97,3 +97,26 @@ def test_dist_dia_halo_rejects():
     b = generate.banded(64, 64, 20)           # band wider than shard
     with _pytest.raises(ValueError):
         build_dist_dia_plan(b, make_mesh_1d(8), x_mode="halo")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dist_fuzz(seed):
+    """Random structures × the general dist plan × random mesh sizes."""
+    rng = np.random.default_rng(2000 + seed)
+    m = int(rng.integers(2, 600))
+    n = int(rng.integers(2, 600))
+    nnz = int(rng.integers(0, min(m * n, 4000)))
+    rows = rng.integers(0, m, size=nnz).astype(np.int32)
+    cols = rng.integers(0, n, size=nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz)
+    from spmv_tpu.types import CsrMatrix
+    a = CsrMatrix.from_coo(m, n, rows, cols, vals)
+    ndev = int(rng.choice([1, 2, 3, 5, 8]))
+    x_mode = str(rng.choice(["replicated", "allgather"]))
+    mesh = make_mesh_1d(ndev)
+    plan = build_dist_plan(a, mesh, tile=128, x_mode=x_mode)
+    x = rng.standard_normal(n)
+    y = np.asarray(dist_spmv(plan, x))
+    np.testing.assert_allclose(
+        y, spmv_golden(a, x), rtol=1e-9, atol=1e-11,
+        err_msg=f"seed={seed} m={m} n={n} nnz={a.nnz} ndev={ndev} {x_mode}")
