@@ -219,17 +219,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from ..utils import enable_compile_cache
     enable_compile_cache()
+    import os
     print(CSV_HEADER, flush=True)
-    all_rows = []
+    if args.out and not os.path.exists(args.out):
+        with open(args.out, "w") as f:
+            f.write(CSV_HEADER + "\n")
     for spec in args.matrices:
         name, a = load_any(spec, dtype=dtype)
-        all_rows += bench_matrix(name, a, methods, iters=args.iters,
-                                 repeats=args.repeats,
-                                 external=args.external)
-    if args.out:
-        with open(args.out, "a") as f:
-            for row in all_rows:
-                f.write(row + "\n")
+        rows = bench_matrix(name, a, methods, iters=args.iters,
+                            repeats=args.repeats, external=args.external)
+        if args.out:
+            # append per matrix so a crash mid-sweep loses nothing
+            with open(args.out, "a") as f:
+                for row in rows:
+                    f.write(row + "\n")
     return 0
 
 

@@ -264,11 +264,13 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 and jax.default_backend() == "tpu"):
             # Pallas DIA: x resident in VMEM, read once (ops/pallas_dia.py);
             # falls back to the XLA shifted-stream plan out of its envelope.
-            from .ops.pallas_dia import MAX_DIAGS, MAX_N
-            if 0 < len(d.offsets) <= MAX_DIAGS and a.n <= MAX_N:
-                return {"dia_pallas": d, "fill": d.fill,
-                        "offsets": tuple(int(o) for o in d.offsets),
-                        "n": a.n}
+            from .ops.pallas_dia import prepare_dia
+            try:
+                parts = prepare_dia(d)
+                return {"dia_pallas": parts, "fill": d.fill,
+                        "offsets": parts["offsets"], "n": a.n}
+            except ValueError:
+                pass  # fall through to the XLA plan
         return {
             "data": dev(d.data),
             "offsets": tuple(int(o) for o in d.offsets),
@@ -321,8 +323,8 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
                                     p["identity_order"])
     if m == Method.DIA:
         if "dia_pallas" in p:
-            from .ops.pallas_dia import build_dia_fn
-            return build_dia_fn(p["dia_pallas"])
+            from .ops.pallas_dia import build_dia_fn_from_parts
+            return build_dia_fn_from_parts(p["dia_pallas"])
         return lambda x: _exec_dia(p["data"], x, p["offsets"], m_rows,
                                    p["n"])
     if m == Method.BCSR:

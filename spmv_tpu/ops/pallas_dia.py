@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_dia_fn", "MAX_DIAGS", "MAX_N"]
+__all__ = ["build_dia_fn", "build_dia_fn_from_parts", "prepare_dia",
+           "MAX_DIAGS", "MAX_N"]
 
 LANES = 128
 ROWS = 16               # rows of x2 per grid step (2048 matrix rows)
@@ -98,24 +99,40 @@ def _run(data3, x, *, offsets, m, n, interpret=False):
     return out.reshape(-1)[:m]
 
 
-def build_dia_fn(dia, interpret: bool = False):
-    """x -> y closure for a DiaMatrix; raises ValueError when out of the
-    kernel's envelope (caller falls back to the XLA plan)."""
+def prepare_dia(dia):
+    """Device-side plan parts for :func:`build_dia_fn_from_parts`.
+
+    Raises ValueError when out of the kernel's envelope.  The VMEM
+    residency scales with the PADDED x2 (which covers both n and the row
+    extent m), so both dimensions gate.
+    """
     import numpy as np
     offsets = tuple(int(o) for o in dia.offsets)
     if len(offsets) == 0 or len(offsets) > MAX_DIAGS:
         raise ValueError(f"pallas DIA: ndiags {len(offsets)} out of range")
-    if dia.n > MAX_N:
-        raise ValueError(f"pallas DIA: n={dia.n} exceeds VMEM budget")
+    if max(dia.m, dia.n) > MAX_N:
+        raise ValueError(
+            f"pallas DIA: padded x2 for m={dia.m}, n={dia.n} exceeds the "
+            f"VMEM budget (limit {MAX_N})")
     blk_rows = ROWS * LANES
     m_pad = -(-dia.m // blk_rows) * blk_rows
     data = np.zeros((len(offsets), m_pad), dtype=dia.data.dtype)
     data[:, : dia.m] = dia.data
     data3 = jnp.asarray(data.reshape(len(offsets), -1, LANES))
-    m, n = dia.m, dia.n
+    return {"data3": data3, "offsets": offsets, "m": dia.m, "n": dia.n}
+
+
+def build_dia_fn_from_parts(parts, interpret: bool = False):
+    data3, offsets = parts["data3"], parts["offsets"]
+    m, n = parts["m"], parts["n"]
 
     def fn(x):
         return _run(data3, x, offsets=offsets, m=m, n=n,
                     interpret=interpret)
 
     return fn
+
+
+def build_dia_fn(dia, interpret: bool = False):
+    """x -> y closure for a DiaMatrix (convenience wrapper)."""
+    return build_dia_fn_from_parts(prepare_dia(dia), interpret=interpret)

@@ -33,7 +33,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.sell8w import Sell8W, LANES, SUB, WINDOW
 
-__all__ = ["build_sell8w_fn", "sell8w_spmv"]
+__all__ = ["build_sell8w_fn", "sell8w_spmv", "pack_gpk"]
+
+
+def pack_gpk(slice_ids) -> np.ndarray:
+    """Host-side per-tile scalar metadata: (group << 4 | row_in_group << 1 |
+    first_flag) packed into one int32 — the kernel's SMEM budget allows only
+    ~2 int32 per grid step (PERFNOTES.md).  Single source of truth for the
+    bit layout; used by both the single-device and distributed builders."""
+    sl = np.asarray(slice_ids).astype(np.int64)
+    groups = sl // SUB
+    first = np.ones(len(sl), dtype=np.int64)
+    first[1:] = (groups[1:] != groups[:-1]).astype(np.int64)
+    return (groups << 4 | (sl % SUB) << 1 | first).astype(np.int32)
 
 
 def _kernel(w_ref, gpk_ref, xwin_ref, meta_ref, vals_ref, out_ref):
@@ -117,15 +129,7 @@ def build_sell8w_fn(packed: Sell8W, interpret: bool = False,
     validity encoded in meta bit 15 (COO2's R reduction).
     """
     window_ids = jnp.asarray(packed.window_ids)
-    # host-side precomputation keeps ref arithmetic out of the kernel;
-    # (group, row, first) pack into one int32 to fit the 1 MB SMEM budget
-    # for scalar-prefetch arrays
-    sl = packed.slice_ids.astype(np.int64)
-    groups = sl // SUB
-    first = np.ones(packed.ntiles, dtype=np.int64)
-    first[1:] = (groups[1:] != groups[:-1]).astype(np.int64)
-    gpk = jnp.asarray((groups << 4 | (sl % SUB) << 1 | first)
-                      .astype(np.int32))
+    gpk = jnp.asarray(pack_gpk(packed.slice_ids))
     if binary:
         # validity rides the int16 sign bit (bit 15 set ⇔ value 1.0);
         # int16 can't shift into the sign bit, so build in uint16 and

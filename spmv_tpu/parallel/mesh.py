@@ -171,12 +171,11 @@ def _build_executable(plan: DistSpmvPlan):
     return run
 
 
-def _pad_x_for_mesh(plan: DistSpmvPlan, x: jax.Array) -> jax.Array:
-    """Pad x to a multiple of ndev for even sharding (allgather mode)."""
-    n_pad = -(-plan.n // plan.ndev) * plan.ndev
-    if n_pad == plan.n:
+def _pad_x(x: jax.Array, n: int, n_pad: int) -> jax.Array:
+    """Zero-pad x from n to n_pad (even sharding for sharded x modes)."""
+    if n_pad == n:
         return x
-    return jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
+    return jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
 
 
 def dist_spmv(plan: DistSpmvPlan, x) -> jax.Array:
@@ -185,7 +184,7 @@ def dist_spmv(plan: DistSpmvPlan, x) -> jax.Array:
     if x.shape != (plan.n,):
         raise ValueError(f"x has shape {x.shape}, expected ({plan.n},)")
     if plan.x_mode == "allgather":
-        x = _pad_x_for_mesh(plan, x)
+        x = _pad_x(x, plan.n, -(-plan.n // plan.ndev) * plan.ndev)
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
@@ -343,8 +342,7 @@ def dist_dia_spmv(plan: DistDiaPlan, x) -> jax.Array:
     if plan.x_mode in ("allgather", "halo"):
         n_pad = (plan.mr * plan.ndev if plan.x_mode == "halo"
                  else -(-plan.n // plan.ndev) * plan.ndev)
-        if n_pad != plan.n:
-            x = jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
+        x = _pad_x(x, plan.n, n_pad)
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
@@ -393,6 +391,11 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     from ..formats.sell8w import pack_sell8w, SUB, LANES
     if x_mode not in ("replicated", "allgather"):
         raise ValueError(f"unknown x_mode {x_mode!r}")
+    if np.dtype(a.dtype) != np.float32:
+        raise ValueError(
+            "dist SELL-8W computes in float32 (the Pallas kernel's dtype); "
+            f"got {np.dtype(a.dtype)} — cast explicitly or use "
+            "build_dist_plan for full-precision execution")
     ndev = mesh.shape[axis]
     mr = max(-(-a.m // (ndev * LANES)) * LANES, LANES)
     rowptr64 = a.rowptr.astype(np.int64)
@@ -418,14 +421,10 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     gpk = np.zeros((ndev, ntiles), dtype=INT_DTYPE)
     meta = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.int16)
     vals = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.float32)
+    from ..ops.pallas_sell import pack_gpk
     for d, p in enumerate(packs):
-        sl = p.slice_ids.astype(np.int64)
-        groups = sl // SUB
-        first = np.ones(p.ntiles, dtype=np.int64)
-        first[1:] = (groups[1:] != groups[:-1]).astype(np.int64)
-        g = (groups << 4 | (sl % SUB) << 1 | first).astype(np.int32)
         win[d, : p.ntiles] = p.window_ids
-        gpk[d, : p.ntiles] = g
+        gpk[d, : p.ntiles] = pack_gpk(p.slice_ids)
         meta[d, : p.ntiles] = p.meta
         vals[d, : p.ntiles] = p.vals
         # padding tiles: target the last group, not first, zero values
@@ -452,7 +451,10 @@ def _build_sell8w_executable(plan: DistSell8WPlan, interpret: bool):
 
     def shard_body(win, gpk, meta, vals, x):
         if x_sharded:
-            x = jax.lax.all_gather(x, axis, tiled=True)
+            # the gathered vector has ceil(n/ndev)*ndev elements; _run's
+            # window padding requires exactly n (measured reshape crash
+            # when n % ndev != 0)
+            x = jax.lax.all_gather(x, axis, tiled=True)[:n]
         out = _run(win[0], gpk[0], x, meta[0], vals[0],
                    ntiles=ntiles, nslices=nslices, n=n,
                    interpret=interpret)

@@ -120,3 +120,24 @@ def test_dist_fuzz(seed):
     np.testing.assert_allclose(
         y, spmv_golden(a, x), rtol=1e-9, atol=1e-11,
         err_msg=f"seed={seed} m={m} n={n} nnz={a.nnz} ndev={ndev} {x_mode}")
+
+
+def test_dist_sell8w_allgather_indivisible_n():
+    # n % ndev != 0 regression (gathered x longer than n crashed _run)
+    from spmv_tpu.parallel import build_dist_sell8w_plan, dist_sell8w_spmv
+    a = generate.clustered(900, 900, 12, spread=120,
+                           dtype=np.float32, seed=9)
+    plan = build_dist_sell8w_plan(a, make_mesh_1d(8), x_mode="allgather",
+                                  interpret=True)
+    x = generate.make_x(a.n, np.float32, kind="normal", seed=1)
+    y = np.asarray(dist_sell8w_spmv(plan, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
+
+
+def test_dist_sell8w_rejects_f64():
+    from spmv_tpu.parallel import build_dist_sell8w_plan
+    a = generate.clustered(500, 500, 10, spread=100, dtype=np.float64)
+    with pytest.raises(ValueError, match="float32"):
+        build_dist_sell8w_plan(a, make_mesh_1d(4))
