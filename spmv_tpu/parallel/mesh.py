@@ -88,16 +88,28 @@ def _pad_to(arr: np.ndarray, length: int, fill=0) -> np.ndarray:
 
 
 def build_dist_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
-                    tile: int = 2048, x_mode: str = "replicated") -> DistSpmvPlan:
+                    tile: int = 2048, x_mode: str = "replicated",
+                    halo_shards: int = 1) -> DistSpmvPlan:
     """Partition rows over the mesh (nnz-balanced) and place shards.
 
     The per-device block construction mirrors the reference numa sample's
     per-node sub-matrix build (numa.c:277-304) but with static padded shapes
     so XLA compiles one program for all shards.
+
+    ``x_mode="halo"``: x is sharded in equal blocks and each shard fetches
+    only its ``halo_shards`` neighbor blocks each way via ppermute —
+    communication is O(halo·n/ndev) per chip instead of O(n) (the TPU
+    analog of the reference numa sample's neighbor reads, numa.c:151-153).
+    Requires every shard's columns to fall inside its ±halo neighborhood;
+    build raises ValueError otherwise (use "allgather" then).  Note the
+    row split becomes uniform (not nnz-balanced) in this mode so row
+    blocks align with x blocks.
     """
-    if x_mode not in ("replicated", "allgather"):
+    if x_mode not in ("replicated", "allgather", "halo"):
         raise ValueError(f"unknown x_mode {x_mode!r}")
     ndev = mesh.shape[axis]
+    if x_mode == "halo":
+        return _build_dist_plan_halo(a, mesh, axis, tile, halo_shards)
     splitter = balanced_row_splitter(a.rowptr, ndev).astype(np.int64)
     rowptr64 = a.rowptr.astype(np.int64)
 
@@ -144,14 +156,84 @@ def build_dist_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     return plan
 
 
+def _build_dist_plan_halo(a: CsrMatrix, mesh: Mesh, axis: str,
+                          tile: int, h: int) -> DistSpmvPlan:
+    ndev = mesh.shape[axis]
+    if a.m != a.n:
+        raise ValueError("halo mode requires a square matrix")
+    mr = max(-(-a.m // ndev), 1)        # uniform rows = x block width
+    rowptr64 = a.rowptr.astype(np.int64)
+    splitter = np.minimum(np.arange(ndev + 1, dtype=np.int64) * mr, a.m)
+
+    shard_nnz = rowptr64[splitter[1:]] - rowptr64[splitter[:-1]]
+    L = max(-(-(int(shard_nnz.max()) + 1) // tile) * tile, tile)
+    colidx = np.zeros((ndev, L), dtype=INT_DTYPE)
+    vals = np.zeros((ndev, L), dtype=a.vals.dtype)
+    row_start = np.zeros((ndev, mr), dtype=INT_DTYPE)
+    row_end = np.zeros((ndev, mr), dtype=INT_DTYPE)
+    for d in range(ndev):
+        r0, r1 = int(splitter[d]), int(splitter[d + 1])
+        p0, p1 = int(rowptr64[r0]), int(rowptr64[r1])
+        nr = r1 - r0
+        cols_d = a.colidx[p0:p1].astype(np.int64)
+        if cols_d.size:
+            lo = (d - h) * mr
+            hi = (d + 1 + h) * mr
+            if cols_d.min() < lo or cols_d.max() >= hi:
+                raise ValueError(
+                    f"shard {d}: columns [{cols_d.min()}, {cols_d.max()}] "
+                    f"escape the ±{h}-neighbor window [{lo}, {hi}); "
+                    "increase halo_shards or use x_mode='allgather'")
+        # columns localized to the extended window [ (d-h)*mr, (d+1+h)*mr )
+        colidx[d, 1: 1 + p1 - p0] = (cols_d - (d - h) * mr).astype(INT_DTYPE)
+        vals[d, 1: 1 + p1 - p0] = a.vals[p0:p1]
+        row_start[d, :nr] = (rowptr64[r0:r1] - p0).astype(INT_DTYPE)
+        row_end[d, :nr] = (rowptr64[r0 + 1: r1 + 1] - p0).astype(INT_DTYPE)
+
+    owner = np.minimum(np.arange(a.m) // mr, ndev - 1)
+    out_index = (owner * mr + (np.arange(a.m) - owner * mr)).astype(INT_DTYPE)
+
+    sh = functools.partial(NamedSharding, mesh)
+    dev_sharded = lambda arr: jax.device_put(arr, sh(P(axis)))
+    plan = DistSpmvPlan(
+        mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
+        tile=tile, mr=mr, row_splitter=splitter, x_mode="halo",
+        colidx_pad=dev_sharded(colidx),
+        vals_pad=dev_sharded(vals),
+        row_start=dev_sharded(row_start),
+        row_end=dev_sharded(row_end),
+        out_index=jax.device_put(out_index, sh(P())),
+    )
+    plan._halo = h
+    plan._exec = _build_executable(plan)
+    return plan
+
+
 def _build_executable(plan: DistSpmvPlan):
     mesh, axis = plan.mesh, plan.axis
     x_sharded = plan.x_mode == "allgather"
+    halo = getattr(plan, "_halo", 0) if plan.x_mode == "halo" else 0
+    ndev = plan.ndev
 
     def shard_body(colidx, vals, row_start, row_end, x):
         # blocks arrive as (1, L) / (1, mr) — one shard of the leading dim
         if x_sharded:
             x = jax.lax.all_gather(x, axis, tiled=True)
+        elif halo:
+            # assemble [own-h .. own+h] blocks via ppermute rings; circular
+            # wrap values are dead weight (columns never escape the window,
+            # enforced at build), localized indices point into this window
+            xb = x[0]
+            parts = [xb]
+            fwd = xb
+            bwd = xb
+            for _ in range(halo):
+                fwd = jax.lax.ppermute(
+                    fwd, axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+                bwd = jax.lax.ppermute(
+                    bwd, axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+                parts = [fwd] + parts + [bwd]
+            x = jnp.concatenate(parts)
         y = xla_csr.scan_spmv_tiled(colidx[0], vals[0], row_start[0],
                                     row_end[0], x, tile=plan.tile)
         return y[None, :]
@@ -159,12 +241,14 @@ def _build_executable(plan: DistSpmvPlan):
     smap = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
-                  P(axis) if x_sharded else P()),
+                  P(axis) if (x_sharded or halo) else P()),
         out_specs=P(axis),
     )
 
     @jax.jit
     def run(colidx, vals, row_start, row_end, x, out_index):
+        if halo:
+            x = x.reshape(ndev, -1)
         y_blocks = smap(colidx, vals, row_start, row_end, x)  # (ndev*mr,)
         return xla_csr.gather_x(y_blocks.reshape(-1), out_index)
 
@@ -185,6 +269,9 @@ def dist_spmv(plan: DistSpmvPlan, x) -> jax.Array:
         raise ValueError(f"x has shape {x.shape}, expected ({plan.n},)")
     if plan.x_mode == "allgather":
         x = _pad_x(x, plan.n, -(-plan.n // plan.ndev) * plan.ndev)
+        x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
+    elif plan.x_mode == "halo":
+        x = _pad_x(x, plan.n, plan.mr * plan.ndev)
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))

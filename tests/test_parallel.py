@@ -141,3 +141,22 @@ def test_dist_sell8w_rejects_f64():
     a = generate.clustered(500, 500, 10, spread=100, dtype=np.float64)
     with pytest.raises(ValueError, match="float32"):
         build_dist_sell8w_plan(a, make_mesh_1d(4))
+
+
+@pytest.mark.parametrize("halo", [1, 2])
+def test_dist_general_halo(halo):
+    # clustered square matrix: columns within +-halo neighbor blocks
+    spread = 60 if halo == 1 else 150
+    a = generate.clustered(1024, 1024, 10, spread=spread, seed=12)
+    mesh = make_mesh_1d(8)
+    plan = build_dist_plan(a, mesh, tile=128, x_mode="halo",
+                           halo_shards=halo)
+    x = generate.make_x(a.n, a.dtype, kind="normal", seed=2)
+    y = np.asarray(dist_spmv(plan, x))
+    np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-10, atol=1e-12)
+
+
+def test_dist_general_halo_rejects_scatter():
+    a = generate.random_uniform(512, 512, 6, seed=3)   # scattered columns
+    with pytest.raises(ValueError, match="escape"):
+        build_dist_plan(a, make_mesh_1d(8), x_mode="halo")
