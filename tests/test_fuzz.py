@@ -36,7 +36,7 @@ def random_csr(rng):
                               cols.astype(np.int32), vals)
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(24))
 def test_fuzz_all_methods(seed):
     rng = np.random.default_rng(1000 + seed)
     a = random_csr(rng)

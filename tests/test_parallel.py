@@ -99,7 +99,7 @@ def test_dist_dia_halo_rejects():
         build_dist_dia_plan(b, make_mesh_1d(8), x_mode="halo")
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(12))
 def test_dist_fuzz(seed):
     """Random structures × the general dist plan × random mesh sizes."""
     rng = np.random.default_rng(2000 + seed)
