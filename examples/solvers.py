@@ -10,6 +10,12 @@ whole solver loop can live under one ``lax.while_loop``.
 Run:  python examples/solvers.py
 """
 
+import os
+import sys
+
+# allow `python examples/<name>.py` without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -60,10 +66,13 @@ def power_iteration(h: st.SpmvHandle, iters=100, seed=0):
 
 
 def main():
+    import jax
     from spmv_tpu.io import generate
 
-    # SPD system: diagonally dominant random matrix
-    a = generate.diag_plus_random(5000, nnz_per_row=8, seed=1)
+    # SPD system: diagonally dominant random matrix.  f32 on TPU (f64 is
+    # software-emulated there); f64 elsewhere.
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+    a = generate.diag_plus_random(5000, nnz_per_row=8, seed=1).astype(dtype)
     sym = st.CsrMatrix.from_coo(  # symmetrize: A + A^T
         a.m, a.n,
         np.concatenate([np.repeat(np.arange(a.m), a.row_lengths), a.colidx]),
@@ -71,7 +80,8 @@ def main():
         np.concatenate([a.vals, a.vals]) * 0.5)
     h = st.create_handle(sym)
     b = np.random.default_rng(2).standard_normal(sym.n)
-    x, res, iters = conjugate_gradient(h, b)
+    b = b.astype(dtype)
+    x, res, iters = conjugate_gradient(h, b, tol=1e-5 if dtype == np.float32 else 1e-6)
     print(f"CG: method={h.method_name}, {iters} iterations, "
           f"residual {res:.2e}")
     check = np.asarray(st.spmv(h, x)) - np.asarray(b)

@@ -5,6 +5,12 @@ Run on any backend (CPU works; TPU uses the Pallas fast paths):
     python examples/tour.py
 """
 
+import os
+import sys
+
+# allow `python examples/<name>.py` without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax.numpy as jnp
 
