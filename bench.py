@@ -1,76 +1,117 @@
 #!/usr/bin/env python
-"""Headline benchmark: one JSON line for the driver.
+"""Headline benchmark: one JSON line for the driver, ALL config families.
 
-Configs (BASELINE.md): headline is config 1 — a large banded matrix
-(4M×4M, bandwidth 4, ~36M nnz, f32) through the auto-inspected plan (DIA:
-zero-gather shifted-stream FMAs).  The size amortizes the device's flat
-per-dispatch floor (~2.8 ms in throttled states), which dominated the
-1M-row variant.  The full multi-config sweep lives in
-spmv_tpu/bench/suite.py (too compile-heavy for the driver's single run).
+VERDICT round-1 demanded the non-banded configs be measured and published in
+the same JSON as the banded headline (no cherry-picking).  Configs follow
+BASELINE.md; each is timed with the honest fori-chained protocol
+(spmv_tpu/bench/timing.py — the runtime dedupes naive dispatch loops) in two
+windows ~15 s apart, best kept (the device's effective bandwidth swings
+~6-150 GB/s with external throttling, PERFNOTES.md).
 
-Timing protocol: HONEST device timing per PERFNOTES.md — the runtime
-dedupes repeated dispatches and constant-folds chained elementwise loops,
-so the naive reference protocol (async dispatch loop, test_spmv.c:103-127)
-reports fantasy numbers here.  We use fori_loop-chained data-dependent
-iteration (spmv_tpu/bench/timing.py) and take the best of 3 repeats.
-The device's effective bandwidth varies ~6-145 GB/s over time
-(shared/throttled); the result is a sample of that lottery.
-
-``vs_baseline`` compares against the best number the *reference library
-itself* achieves on this machine's CPU for the SAME banded matrix
-(4 threads, AVX2, f64 — its harness dtype): 11.14 GFLOP/s avg
-(Method_SellCSigma x4 row of baselines/reference_cpu_banded1m.csv; see
-baselines/measure_reference.md).  For the 4M-row headline matrix the
-reference's best is 6.11 GFLOP/s avg (6.49 fastest iter) across two
-independent sweeps (baselines/reference_cpu_banded4m.csv).
+``vs_baseline`` (headline) and per-config ``vs_ref`` compare against the
+best number the *reference library itself* achieves on this machine's CPU
+for the SAME matrix (4 threads, AVX2, f64 — its harness dtype), measured in
+baselines/reference_cpu*.csv; powerlaw has no reference-CPU run, so its ref
+is the measured scipy.sparse CSR rate (the MKL-baseline role).
 """
 
 import json
 import sys
+import time
 
 import numpy as np
 
-REFERENCE_BANDED_GFLOPS = 6.11    # baselines/reference_cpu_banded4m.csv, best avg
-REFERENCE_UNIFORM_GFLOPS = 8.18  # baselines/reference_cpu.csv
+#: reference spmv_l2 best avg GFLOP/s on this host CPU, same matrices
+#: (baselines/reference_cpu_banded4m.csv, reference_cpu_clustered200k.csv,
+#: reference_cpu.csv); powerlaw ref = ScipyCsr measured on this host.
+REFS = {
+    "banded4m": ("reference SellCSigma x4, f64", 6.11),
+    "clustered200k": ("reference SellCSigma x4, f64", 9.64),
+    "uniform100k": ("reference Balanced x4, f64", 8.18),
+    "powerlaw100k": ("scipy.sparse CSR (host CPU)", 1.18),
+}
+
+
+def _gen_all():
+    from spmv_tpu.io import generate
+    return {
+        "banded4m": generate.banded(4_000_000, 4_000_000, 4,
+                                    dtype=np.float32, seed=7),
+        "clustered200k": generate.clustered(200_000, 200_000, 32,
+                                            spread=512, dtype=np.float32,
+                                            seed=9),
+        "uniform100k": generate.random_uniform(100_000, 100_000, 40,
+                                               dtype=np.float32, seed=42),
+        "powerlaw100k": generate.power_law(100_000, 100_000, 40 * 100_000,
+                                           dtype=np.float32, seed=2),
+    }
 
 
 def main() -> int:
     from spmv_tpu.utils import enable_compile_cache
     enable_compile_cache()
-    import jax
     import jax.numpy as jnp
-    from spmv_tpu.io import generate
     from spmv_tpu import create_handle, Method
-    from spmv_tpu.bench.timing import time_spmv
+    from spmv_tpu.bench.timing import time_spmv_chain
 
-    # Headline: banded 4M (BASELINE.md config 1), auto-inspected (→ DIA).
-    a = generate.banded(4_000_000, 4_000_000, 4, dtype=np.float32, seed=7)
-    h = create_handle(a, method=Method.AUTO)
-    x0 = jnp.asarray(
-        np.random.default_rng(0).standard_normal(a.n).astype(np.float32))
-    # The device's effective bandwidth varies over minutes (PERFNOTES.md);
-    # sample three windows ~45 s apart and keep the best.
-    import time as _time
-    dts = []
-    for i in range(3):
-        dts.append(time_spmv(h._bound, x0, iters=10, repeats=3))
-        if i < 2:
-            _time.sleep(30)
-    dt = min(dts)
-    gflops = 2 * a.nnz / dt / 1e9
+    mats = _gen_all()
+    handles = {}
+    predeal = {}
+    for name, a in mats.items():
+        t0 = time.perf_counter()
+        handles[name] = create_handle(a, method=Method.AUTO)
+        predeal[name] = round((time.perf_counter() - t0) * 1e3, 1)
 
+    xs = {name: jnp.asarray(np.random.default_rng(0)
+                            .standard_normal(a.n).astype(np.float32))
+          for name, a in mats.items()}
+
+    best = {name: None for name in mats}
+    for window in range(2):
+        for name, a in mats.items():
+            r = time_spmv_chain(handles[name]._bound, xs[name],
+                                iters=10, k=8, repeats=2)
+            if best[name] is None or r["inclusive"] < best[name]["inclusive"]:
+                best[name] = r
+        if window == 0:
+            time.sleep(15)
+
+    configs = {}
+    for name, a in mats.items():
+        r = best[name]
+        gflops = 2 * a.nnz / r["inclusive"] / 1e9
+        ref_label, ref = REFS[name]
+        h = handles[name]
+        configs[name] = {
+            "gflops": round(gflops, 2),
+            "gflops_marginal": round(2 * a.nnz / r["marginal"] / 1e9, 2),
+            "ms": round(r["inclusive"] * 1e3, 3),
+            "sync_bubble_ms": round(r["bubble"] * 1e3, 3),
+            "nnz": a.nnz,
+            "method": h.method_name,
+            "value_mode": h.plan.get("value_mode"),
+            "predeal_ms": predeal[name],
+            "ref_gflops": ref,
+            "ref": ref_label,
+            "vs_ref": round(gflops / ref, 2),
+        }
+
+    head = configs["banded4m"]
     print(json.dumps({
         "metric": "spmv_f32_gflops_banded4m",
-        "value": round(gflops, 2),
+        "value": head["gflops"],
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / REFERENCE_BANDED_GFLOPS, 2),
-        "method": h.method_name,
-        "matrix": "banded4m (4M x 4M, bw=4, ~36M nnz)",
-        "baseline": "reference spmv_l2 best avg on this host CPU, same "
-                    "matrix (4 threads AVX2 f64) = 6.11 GFLOP/s",
-        "timing_protocol": "honest fori-chained device timing "
-                           "(PERFNOTES.md); device throughput varies with "
-                           "external throttling",
+        "vs_baseline": head["vs_ref"],
+        "configs": configs,
+        "timing_protocol": "honest chained-k dependent-SpMV protocol "
+                           "(PERFNOTES.md): k=8 data-dependent SpMVs per "
+                           "loop iteration amortize the device's "
+                           "per-iteration sync bubble (~2.9 ms in "
+                           "throttled states, paid even by a tiny "
+                           "elementwise op — baselines/probe5.out); "
+                           "gflops = inclusive T(k)/k (conservative), "
+                           "gflops_marginal = (T(k)-T(1))/(k-1); best of "
+                           "2 windows",
     }))
     return 0
 

@@ -35,7 +35,7 @@ import numpy as np
 
 from ..types import CsrMatrix, Method, METHOD_NAMES, VECTORIZED_NAMES
 from ..oracle import spmv_golden
-from .timing import time_spmv, time_spmv_samples
+from .timing import time_spmv, time_spmv_chain
 
 __all__ = ["BUILTIN_MATRICES", "load_any", "bench_matrix", "main",
            "CSV_HEADER"]
@@ -81,10 +81,7 @@ def load_any(spec: str, dtype=np.float32) -> tuple:
     return spec, load_matrix(spec, dtype=dtype)
 
 
-def _rmse(y: np.ndarray, golden: np.ndarray) -> float:
-    """Reference RMSE (test_spmv.c:138-145): sqrt(mean((y-ŷ)²))."""
-    d = y.astype(np.float64) - golden.astype(np.float64)
-    return float(np.sqrt(np.mean(d * d))) if d.size else 0.0
+from ..oracle import rmse as _rmse  # single RMSE definition everywhere
 
 
 def _row(matrix, method_name, vec_name, threads, nnz, rmse, predeal_ms,
@@ -125,13 +122,16 @@ def bench_matrix(name: str, a: CsrMatrix,
         try:
             y = np.asarray(h._bound(xj))
             rmse = _rmse(y, golden)
-            dts = time_spmv_samples(h._bound, xj, iters=iters,
-                                    repeats=repeats)
+            # chained-k protocol (PERFNOTES.md round-2): avg = inclusive
+            # T(k)/k, fastest = marginal (T(k)-T(1))/(k-1) — the device
+            # pays a per-iteration sync bubble even for tiny ops
+            r = time_spmv_chain(h._bound, xj, iters=iters, k=8,
+                                repeats=repeats)
         except Exception as e:  # noqa: BLE001 — keep sweeping
             print(f"# {name},{h.method_name}: exec/timing failed: "
                   f"{str(e).splitlines()[0][:120]}", file=out, flush=True)
             continue
-        avg, best = float(np.mean(dts)), float(np.min(dts))
+        avg, best = r["inclusive"], r["marginal"]
         row = _row(name, h.method_name, VECTORIZED_NAMES[h.vectorized],
                    threads, a.nnz, rmse, predeal_ms, avg * 1e3,
                    2 * a.nnz / avg / 1e9, 2 * a.nnz / best / 1e9)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["time_op", "time_op_samples", "time_spmv",
-           "time_spmv_samples"]
+           "time_spmv_samples", "time_spmv_chain"]
 
 
 def time_op_samples(step: Callable, x0, iters: int = 10,
@@ -91,6 +91,52 @@ def time_spmv(spmv_fn: Callable, x0, iters: int = 10,
         return y * scale
 
     return time_op(step, x0, iters=iters, repeats=repeats)
+
+
+def _renorm(y):
+    scale = jnp.exp2(-jnp.ceil(jnp.log2(jnp.maximum(
+        jnp.max(jnp.abs(y)), 1e-30))))
+    return y * scale
+
+
+def time_spmv_chain(spmv_fn: Callable, x0, iters: int = 10, k: int = 8,
+                    repeats: int = 2) -> dict:
+    """Chained-k protocol: k DEPENDENT SpMVs per loop iteration.
+
+    Measured on this device (baselines/probe5.out): every fori iteration
+    pays a fixed synchronization bubble (~0.3-3 ms depending on throttle
+    state) that even a (8,128) elementwise op pays in full — it is a
+    runtime/tunnel artifact, not SpMV cost.  Chaining k data-dependent
+    SpMVs (y ← normalize(A@y), genuinely sequential work — not foldable,
+    not dedupable) amortizes the bubble and exposes the real per-SpMV cost:
+
+    * ``inclusive`` — T(k)/k: conservative per-SpMV seconds (carries 1/k of
+      the bubble); report as the reference's GFlops column.
+    * ``marginal`` — (T(k) − T(1))/(k−1): the steady-state per-SpMV cost
+      (the reference's GFlops_fastest role).
+    * ``bubble`` — T(1) − marginal: the per-iteration sync artifact.
+    """
+    def make_step(kk):
+        def step(x):
+            y = x
+            for _ in range(kk):
+                y = _renorm(spmv_fn(y))
+            return y
+        return step
+
+    t_k = min(time_op_samples(make_step(k), x0, iters=iters,
+                              repeats=repeats))
+    t_1 = min(time_op_samples(make_step(1), x0, iters=iters,
+                              repeats=repeats))
+    marginal = max((t_k - t_1) / max(k - 1, 1), 1e-9)
+    return {
+        "inclusive": t_k / k,
+        "marginal": marginal,
+        "bubble": max(t_1 - marginal, 0.0),
+        "t_1": t_1,
+        "t_k": t_k,
+        "k": k,
+    }
 
 
 def time_spmv_samples(spmv_fn: Callable, x0, iters: int = 10,

@@ -112,6 +112,26 @@ def pack_coo2(a: CsrMatrix, super_slices: int = 40,
     tiles degenerate to one-row-per-tile, csr5_spmv_avx2.h:112-124)."""
     if a.nnz == 0:
         raise ValueError("empty matrix: use another method")
+    from ..native import coo2_pack_all_native
+    if max_pad2 is not None:
+        # sortless pre-gate (same bound as below) before any heavy work
+        from .sell8w import pairs_lower_bound
+        lb = pairs_lower_bound(a)
+        if lb and lb * WINDOW / a.nnz > max_pad2:
+            raise ValueError(
+                f"coo2 pass-2 padding lower bound "
+                f"{lb * WINDOW / a.nnz:.1f} exceeds {max_pad2}")
+    fused = coo2_pack_all_native(a.m, a.n, a.rowptr, a.colidx, a.vals,
+                                 super_slices)
+    if fused is not None:
+        window_arr, meta_arr, vals_arr, r_rowptr, r_colidx = fused
+        ntiles = len(window_arr)
+        r_mat = CsrMatrix(a.m, ntiles * WINDOW, r_rowptr, r_colidx,
+                          np.ones(a.nnz, dtype=np.float32))
+        return Coo2(m=a.m, n=a.n, nnz_stored=a.nnz, ntiles=ntiles,
+                    window_ids=window_arr.astype(INT_DTYPE),
+                    meta=meta_arr, vals=vals_arr,
+                    reduce_plan=pack_sell8w(r_mat, max_pad_ratio=max_pad2))
     if max_pad2 is not None:
         # cheap estimate: distinct (slice, window) pairs bound the R tiles
         rows_e = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
@@ -131,16 +151,24 @@ def pack_coo2(a: CsrMatrix, super_slices: int = 40,
     r_in = (cols % LANES).astype(np.int16)
     vals = a.vals.astype(np.float32)
 
-    order = np.lexsort((rows, sl, w, sup))
+    # single fused key (sup, w, rows) — row order within group subsumes the
+    # sl key since sl = rows // LANES; ~3x faster than the 4-key lexsort
+    nw = int(w.max()) + 2
+    nsup = int(sup.max()) + 1
+    if nsup * nw * a.m <= (1 << 62):
+        gkey = sup * nw + w
+        order = np.argsort(gkey * a.m + rows, kind="stable")
+        gkey_o = gkey[order]
+    else:
+        order = np.lexsort((rows, sl, w, sup))
+        gkey_o = (sup * nw + w)[order]
     rows_o = rows[order]
     w_o = w[order]
-    sup_o = sup[order]
     s_o, r_o, v_o = s_in[order], r_in[order], vals[order]
 
     # group bounds over (super, window)
-    key = sup_o * (int(w.max()) + 2) + w_o
-    bounds_idx = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1,
-                                 [len(key)]])
+    bounds_idx = np.concatenate([[0], np.nonzero(np.diff(gkey_o))[0] + 1,
+                                 [len(gkey_o)]])
     g_lo = bounds_idx[:-1].astype(np.int64)
     g_hi = bounds_idx[1:].astype(np.int64)
     g_w = w_o[g_lo].astype(np.int64)
@@ -158,7 +186,7 @@ def pack_coo2(a: CsrMatrix, super_slices: int = 40,
         return Coo2(m=a.m, n=a.n, nnz_stored=a.nnz, ntiles=ntiles,
                     window_ids=window_arr.astype(INT_DTYPE),
                     meta=meta_arr, vals=vals_arr,
-                    reduce_plan=pack_sell8w(r_mat))
+                    reduce_plan=pack_sell8w(r_mat, max_pad_ratio=max_pad2))
 
     group_bounds = [(int(g_w[b]), int(g_lo[b]), int(g_hi[b]))
                     for b in range(len(g_lo))]
@@ -175,7 +203,11 @@ def pack_coo2(a: CsrMatrix, super_slices: int = 40,
         positions.astype(INT_DTYPE),
         np.ones(len(positions), dtype=np.float32),
         sum_duplicates=False)
-    reduce_plan = pack_sell8w(r_mat)
+    # Re-gate on the ACTUAL reduce packing, not just the pack-time estimate:
+    # the estimate is a lower bound (distinct (slice,window) pairs), so a
+    # handle could otherwise silently materialize an R packing far past the
+    # gate (memory/time blowup with correct results).
+    reduce_plan = pack_sell8w(r_mat, max_pad_ratio=max_pad2)
 
     return Coo2(
         m=a.m, n=a.n, nnz_stored=a.nnz, ntiles=ntiles,

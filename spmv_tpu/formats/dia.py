@@ -34,12 +34,22 @@ class DiaMatrix:
         return self.nnz_stored / max(self.data.size, 1)
 
 
+def _offsets_of(a: CsrMatrix):
+    """(rows, off_per_nnz, present_offsets) — bincount, no sort (the
+    np.unique sort was the pre-deal hotspot at 36M nnz on this host)."""
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    off = a.colidx.astype(np.int64) - rows
+    lo = int(off.min())
+    counts = np.bincount(off - lo)          # range ≤ m+n, linear time
+    uniq = np.nonzero(counts)[0] + lo
+    return rows, off, uniq
+
+
 def dia_profile(a: CsrMatrix):
     """(ndiags, fill) without building the format."""
     if a.nnz == 0:
         return 0, 0.0
-    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
-    offs = np.unique(a.colidx.astype(np.int64) - rows)
+    _, _, offs = _offsets_of(a)
     return len(offs), a.nnz / max(len(offs) * a.m, 1)
 
 
@@ -61,11 +71,17 @@ def pack_dia(a: CsrMatrix, compress: str = "lossless") -> DiaMatrix:
     exactly representable (no accuracy change — accumulation stays f32);
     "bf16" forces it (lossy); "none" keeps the input dtype.
     """
-    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
-    off = a.colidx.astype(np.int64) - rows
-    uniq, inv = np.unique(off, return_inverse=True)
-    data = np.zeros((len(uniq), a.m), dtype=a.vals.dtype)
-    data[inv, rows] = a.vals
+    rows, off, uniq = _offsets_of(a)
+    lo = int(uniq.min())
+    lut = np.zeros(int(uniq.max()) - lo + 1, dtype=np.int64)
+    lut[uniq - lo] = np.arange(len(uniq))
+    inv = lut[off - lo]
+    # Fill row-major (CSR order → near-sequential writes), then transpose:
+    # the (ndiags, m)-order scatter was cache-hostile at 36M nnz.
+    data_t = np.zeros((a.m, len(uniq)), dtype=a.vals.dtype)
+    data_t[rows, inv] = a.vals
+    data = np.ascontiguousarray(data_t.T)
+    del data_t
     if compress == "bf16" or (
             compress == "lossless"
             and np.dtype(a.dtype) == np.float32

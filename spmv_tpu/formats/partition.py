@@ -25,6 +25,8 @@ __all__ = [
     "pad_stream",
     "TileScanPlan",
     "build_tile_scan_plan",
+    "Balanced2Plan",
+    "build_balanced2_plan",
 ]
 
 
@@ -96,3 +98,57 @@ def build_tile_scan_plan(a: CsrMatrix, tile: int = 2048) -> TileScanPlan:
     row_start = a.rowptr[:-1].astype(INT_DTYPE)
     row_end = a.rowptr[1:].astype(INT_DTYPE)
     return TileScanPlan(tile, ntiles, colidx_pad, vals_pad, row_start, row_end)
+
+
+@dataclasses.dataclass(frozen=True)
+class Balanced2Plan:
+    """Mega-row split plan — the distinct Balanced2 algorithm.
+
+    The reference's Balanced2 exists for rows so heavy they span several
+    threads' nnz quantiles: it redistributes them and splits them intra-row,
+    reducing per-thread partials serially at the end
+    (parallel_balanced2_spmv.c:55-209, :264-282).  The TPU translation:
+    mega-rows (> ``tile`` nonzeros) become runs of *virtual sub-rows* of at
+    most ``tile`` nonzeros each; stage 1 computes every virtual row with the
+    ordinary tile-scan extraction, stage 2 folds each row's sub-row run with
+    a second (much shorter) prefix scan — the scan-algebra form of the
+    reference's ``Y[Yid[tid]] += Ysum[tid]`` serial reduction.
+    """
+
+    inner: TileScanPlan          # over the virtual (sub-row) matrix
+    m_virtual: int
+    sub_ptr_start: np.ndarray    # (m,) int32 — row i's first virtual row
+    sub_ptr_end: np.ndarray      # (m,) int32 — one past row i's last
+    n_mega_rows: int
+
+
+def build_balanced2_plan(a: CsrMatrix, tile: int = 1024):
+    """Build the mega-row split plan, or return ``None`` when no row exceeds
+    ``tile`` nonzeros — the caller then demotes the method to Balanced,
+    exactly the reference's rule (parallel_balanced2_spmv.c:87-90)."""
+    lengths = a.row_lengths.astype(np.int64)
+    n_mega = int(np.sum(lengths > tile))
+    if n_mega == 0:
+        return None
+    nchunks = np.maximum(-(-lengths // tile), 1)
+    m_v = int(nchunks.sum())
+    sub_end = np.cumsum(nchunks)
+    sub_start = sub_end - nchunks
+    # virtual rowptr: row i's chunks split at every `tile` nonzeros
+    vrowptr = np.zeros(m_v + 1, dtype=np.int64)
+    row_of_chunk = np.repeat(np.arange(a.m), nchunks)
+    chunk_in_row = np.arange(m_v) - sub_start[row_of_chunk]
+    vrowptr[:-1] = a.rowptr.astype(np.int64)[row_of_chunk] \
+        + chunk_in_row * tile
+    vrowptr[:-1] = np.minimum(vrowptr[:-1],
+                              a.rowptr.astype(np.int64)[row_of_chunk + 1])
+    vrowptr[-1] = a.nnz
+    virtual = CsrMatrix(m_v, a.n, vrowptr.astype(INT_DTYPE), a.colidx,
+                        a.vals)
+    return Balanced2Plan(
+        inner=build_tile_scan_plan(virtual, tile=tile),
+        m_virtual=m_v,
+        sub_ptr_start=sub_start.astype(INT_DTYPE),
+        sub_ptr_end=sub_end.astype(INT_DTYPE),
+        n_mega_rows=n_mega,
+    )

@@ -33,8 +33,9 @@ import numpy as np
 
 from ..types import CsrMatrix, INT_DTYPE
 
-__all__ = ["rcm_order", "window_cluster_order", "reorder_symmetric",
-           "reorder_rows", "cached_order", "bandwidth"]
+__all__ = ["rcm_order", "window_cluster_order", "cluster_order",
+           "label_propagation_clusters", "cluster_split",
+           "reorder_symmetric", "reorder_rows", "cached_order", "bandwidth"]
 
 _CACHE_DIR = "cache"  # same directory name as the reference
 
@@ -143,6 +144,156 @@ def window_cluster_order(a: CsrMatrix, window: int = 1024,
     return np.lexsort((np.arange(a.n), dom)).astype(np.int64)
 
 
+def _sym_edges(a: CsrMatrix):
+    """Deduplicated symmetric edge list (u, v) of the pattern of A + A^T."""
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    cols = a.colidx.astype(np.int64)
+    u = np.concatenate([rows, cols])
+    v = np.concatenate([cols, rows])
+    keep = u != v
+    u, v = u[keep], v[keep]
+    if u.size:
+        key = u * a.m + v
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        dedup = np.empty(key.size, dtype=bool)
+        dedup[0] = True
+        dedup[1:] = key[1:] != key[:-1]
+        u, v = u[order][dedup], v[order][dedup]
+    return u, v
+
+
+def _mode_per_node(m, u, lab_v):
+    """Per-u most frequent label among (u, lab_v) pairs (ties → smallest).
+    Returns (nodes, modes)."""
+    order = np.argsort(u * m + lab_v, kind="stable")
+    us, ls = u[order], lab_v[order]
+    if us.size == 0:
+        return us, ls
+    new_run = np.empty(us.size, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (us[1:] != us[:-1]) | (ls[1:] != ls[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    run_u = us[new_run]
+    run_lab = ls[new_run]
+    u_starts = np.nonzero(np.concatenate(
+        [[True], run_u[1:] != run_u[:-1]]))[0]
+    best = np.maximum.reduceat(run_len, u_starts)
+    is_best = run_len == np.repeat(best,
+                                   np.diff(np.concatenate(
+                                       [u_starts, [len(run_u)]])))
+    cand = np.nonzero(is_best)[0]
+    grp_of_cand = np.searchsorted(u_starts, cand, side="right") - 1
+    idx_best = np.full(len(u_starts), np.iinfo(np.int64).max,
+                       dtype=np.int64)
+    np.minimum.at(idx_best, grp_of_cand, cand)
+    return run_u[idx_best], run_lab[idx_best]
+
+
+def label_propagation_clusters(a: CsrMatrix, rounds: int = 6,
+                               min_cluster: int = 0) -> np.ndarray:
+    """k-way graph clustering by weighted label propagation — the METIS
+    min-cut role (HyperGraphInterface.cpp:59-147) without METIS.
+
+    Each round every node adopts the most frequent label among its
+    neighbors (ties → smallest label; vectorized as a sort + run-count +
+    per-node argmax).  Converges in a few rounds on community-structured
+    graphs; returns (m,) labels renumbered densely in first-seen order.
+    """
+    if a.m != a.n:
+        raise ValueError("clustering needs a square matrix")
+    u, v = _sym_edges(a)
+    labels = np.arange(a.m, dtype=np.int64)
+    for _ in range(rounds):
+        nodes, modes = _mode_per_node(a.m, u, labels[v])
+        new_labels = labels.copy()
+        new_labels[nodes] = modes
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    if min_cluster > 0:
+        # absorb fragment clusters: their nodes keep edges into their true
+        # community, which would otherwise become long-range edges after
+        # ordering (observed as halo-depth blowup)
+        for _ in range(3):
+            sizes = np.bincount(labels, minlength=a.m)
+            small = sizes[labels] < min_cluster
+            if not small.any():
+                break
+            sel = small[u] & ~small[v]   # edges from fragment → large
+            nodes, modes = _mode_per_node(a.m, u[sel], labels[v[sel]])
+            labels[nodes] = modes
+    # renumber densely in first-seen order
+    _, first_idx, inv = np.unique(labels, return_index=True,
+                                  return_inverse=True)
+    rank = np.argsort(np.argsort(first_idx))
+    return rank[inv]
+
+
+def cluster_order(a: CsrMatrix, rounds: int = 6,
+                  min_cluster: Optional[int] = None) -> np.ndarray:
+    """Row/col permutation grouping label-propagation clusters contiguously.
+
+    Where RCM only recovers *banded* structure, this recovers block/
+    community structure: co-connected rows land in consecutive ids, so
+    their columns share x-windows (the SELL-8W gate) and mesh shards cut
+    few edges (halo minimization) — the role METIS k-way plays in the
+    reference (common.c:144-156).
+    """
+    if min_cluster is None:
+        min_cluster = max(a.m // 256, 16)
+    labels = label_propagation_clusters(a, rounds=rounds,
+                                        min_cluster=min_cluster)
+    # Order clusters by CONNECTIVITY, not id: label propagation sometimes
+    # splits one community into two labels; a greedy max-weight chain over
+    # the cluster graph keeps such halves adjacent (else their mutual edges
+    # become long-range and inflate windows/halo rings).
+    u, v = _sym_edges(a)
+    nc = int(labels.max()) + 1 if labels.size else 0
+    rank = np.zeros(nc, dtype=np.int64)
+    if 1 < nc <= 4096 and u.size:   # dense cluster graph; skip when huge
+        lu, lv = labels[u], labels[v]
+        off = lu != lv
+        w = np.zeros((nc, nc), dtype=np.int64)
+        if off.any():
+            np.add.at(w, (lu[off], lv[off]), 1)
+            w = w + w.T
+        sizes = np.bincount(labels, minlength=nc)
+        visited = np.zeros(nc, dtype=bool)
+        chain = [int(np.argmax(sizes))]
+        visited[chain[0]] = True
+        for _ in range(nc - 1):
+            cand = w[chain[-1]].astype(np.float64).copy()
+            cand[visited] = -1
+            if cand.max() <= 0:              # no edge from chain end:
+                cand = w[chain].sum(axis=0).astype(np.float64)  # any visited
+                cand[visited] = -1
+                if cand.max() <= 0:
+                    cand = sizes.astype(np.float64).copy()      # disconnected
+                    cand[visited] = -1
+            nxt = int(np.argmax(cand))
+            visited[nxt] = True
+            chain.append(nxt)
+        rank[np.asarray(chain)] = np.arange(nc)
+    return np.lexsort((np.arange(a.m), rank[labels])).astype(np.int64)
+
+
+def cluster_split(a: CsrMatrix, nparts: int, rounds: int = 6):
+    """(perm, splitter): cluster-contiguous order + nnz-balanced row cuts.
+
+    The splitter cuts the *reordered* matrix into ``nparts`` contiguous row
+    blocks balanced by nnz; because the order groups clusters, cuts fall
+    between communities when balance allows — nnz-balanced AND
+    halo-minimal shards for ``build_dist_plan`` (numa.c:277-304 analog).
+    """
+    from .partition import balanced_row_splitter
+    perm = cluster_order(a, rounds=rounds)
+    ap = a.permute_rows(perm.astype(INT_DTYPE))
+    splitter = balanced_row_splitter(ap.rowptr, nparts)
+    return perm, splitter
+
+
 def reorder_rows(a: CsrMatrix, perm: np.ndarray) -> CsrMatrix:
     """Row-only permutation (y' = y[perm]; x unchanged)."""
     return a.permute_rows(perm.astype(INT_DTYPE))
@@ -177,16 +328,28 @@ def cached_order(a: CsrMatrix, token: str, kind: str = "rcm",
     """
     mangled = re.sub(r"[^A-Za-z0-9_.-]", "_", f"{token}_{kind}_{a.m}_{a.nnz}")
     path = os.path.join(cache_dir or _CACHE_DIR, mangled + ".npz")
+    # Cheap structure fingerprint: (m, nnz) collisions with a DIFFERENT
+    # structure would silently reuse a stale permutation (correctness is
+    # unaffected — permute/unpermute is internal — but the locality benefit
+    # and the sell8w pad-gate decisions would be silently lost).
+    fp_src = np.concatenate([a.rowptr[:: max(a.m // 64, 1)].astype(np.uint64),
+                             a.colidx[:: max(a.nnz // 256, 1)].astype(np.uint64)])
+    with np.errstate(over="ignore"):
+        fingerprint = int(np.bitwise_xor.reduce(
+            fp_src * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1))
     if os.path.exists(path):
         z = np.load(path)
-        if int(z["m"]) == a.m and int(z["nnz"]) == a.nnz:
+        if (int(z["m"]) == a.m and int(z["nnz"]) == a.nnz
+                and ("fp" in z and int(z["fp"]) == fingerprint)):
             return z["perm"]
     if kind == "rcm":
         perm = rcm_order(a)
     elif kind == "window":
         perm = window_cluster_order(a)
+    elif kind == "cluster":
+        perm = cluster_order(a)
     else:
         raise ValueError(f"unknown reorder kind {kind!r}")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, m=a.m, nnz=a.nnz, perm=perm)
+    np.savez(path, m=a.m, nnz=a.nnz, fp=fingerprint, perm=perm)
     return perm

@@ -35,7 +35,8 @@ import numpy as np
 
 from ..types import CsrMatrix, INT_DTYPE
 
-__all__ = ["Sell8W", "pack_sell8w", "estimate_sell8w_tiles"]
+__all__ = ["Sell8W", "Sell8WV2", "pack_sell8w", "plan_v2",
+           "estimate_sell8w_tiles", "pairs_lower_bound", "value_palette"]
 
 LANES = 128
 SUB = 8
@@ -57,6 +58,109 @@ class Sell8W:
     @property
     def pad_ratio(self) -> float:
         return self.ntiles * WINDOW / max(self.nnz_stored, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Sell8WV2:
+    """Grouped tile stream for the v2 kernel (ops/pallas_sell.py v2 path).
+
+    The v1 kernel pays a per-grid-step cost that dominates at one tile per
+    step (measured ~250 ns/step on the v5e — baselines/probe_step.out); v2
+    processes ``G`` tiles per step with x resident in VMEM, and compresses
+    the values stream: a ≤64-entry **value palette** rides spare meta bits
+    (the values stream disappears — 2 KB/tile instead of 6), else bf16 when
+    every value round-trips (4 KB), else f32.  The reference's own
+    benchmark values are k/8 dyadics (test_spmv.c:200) — an 8-entry palette.
+    """
+
+    m: int
+    n: int
+    nnz_stored: int
+    nslices: int
+    g: int                     # tiles per grid step
+    ntiles: int                # padded to G per slice-group
+    nsteps: int
+    value_mode: str            # "palette" | "bf16" | "f32"
+    tinfo: np.ndarray          # (ntiles,) int32: window << 3 | row_in_group
+    ginfo: np.ndarray          # (nsteps,) int32: group << 1 | first_flag
+    meta: np.ndarray           # (ntiles, 8, 128) int16 (s<<7|r | code<<10)
+    vals: Optional[np.ndarray]  # (ntiles, 8, 128) f32/bf16, None for palette
+    palette: Optional[np.ndarray]  # (128,) f32, palette[0] == 0
+
+    @property
+    def pad_ratio(self) -> float:
+        return self.ntiles * WINDOW / max(self.nnz_stored, 1)
+
+
+def value_palette(vals: np.ndarray, max_entries: int = 64):
+    """(palette, codes) with palette[0] == 0.0, or None if > max_entries
+    distinct values.  Palette is padded to 128 lanes for the kernel's
+    take_along_axis decode."""
+    uniq = np.unique(vals.astype(np.float32))
+    uniq = uniq[uniq != 0.0]
+    if len(uniq) + 1 > max_entries:
+        return None
+    palette = np.zeros(LANES, dtype=np.float32)
+    palette[1: 1 + len(uniq)] = uniq
+    codes = np.searchsorted(uniq, vals.astype(np.float32)) + 1
+    codes[vals == 0.0] = 0
+    return palette, codes.astype(np.int16)
+
+
+def plan_v2(p: Sell8W, g: int = 16) -> Sell8WV2:
+    """Regroup a v1 tile stream for the v2 kernel.
+
+    Pads each slice-GROUP's tile run to a multiple of ``g`` with zero tiles
+    (value 0 ⇒ contributes nothing) so no grid step straddles an output
+    block, picks the value mode, and packs palette codes into meta bits
+    10-15.
+    """
+    ngroups = max(-(-p.nslices // SUB), 1)
+    groups = p.slice_ids.astype(np.int64) // SUB
+    # run lengths per group (slice-major order; every group covered ≥ 1)
+    counts = np.bincount(groups, minlength=ngroups)
+    padded = np.maximum(-(-counts // g) * g, g)
+    ntiles = int(padded.sum())
+    starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    dest = starts[groups] + (np.arange(p.ntiles)
+                             - np.concatenate([[0], np.cumsum(counts)[:-1]])[groups])
+
+    meta = np.zeros((ntiles, SUB, LANES), dtype=np.int16)
+    meta[dest] = p.meta
+    tinfo = np.zeros(ntiles, dtype=np.int32)
+    tinfo[dest] = (p.window_ids.astype(np.int64) << 3
+                   | (p.slice_ids.astype(np.int64) % SUB)).astype(np.int32)
+
+    pal = value_palette(p.vals.reshape(-1))
+    vals = None
+    palette = None
+    if pal is not None:
+        palette, codes = pal
+        value_mode = "palette"
+        code_t = np.zeros((ntiles, SUB, LANES), dtype=np.int64)
+        code_t[dest] = codes.reshape(p.ntiles, SUB, LANES)
+        meta = ((meta.astype(np.int64) & 0x3FF) | (code_t << 10)) \
+            .astype(np.uint16).view(np.int16).reshape(ntiles, SUB, LANES)
+    else:
+        import ml_dtypes
+        v32 = p.vals.astype(np.float32)
+        lossless = bool(np.array_equal(
+            v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
+        value_mode = "bf16" if lossless else "f32"
+        dt = ml_dtypes.bfloat16 if lossless else np.float32
+        vals = np.zeros((ntiles, SUB, LANES), dtype=dt)
+        vals[dest] = v32.astype(dt)
+
+    nsteps = ntiles // g
+    sg = np.repeat(np.arange(ngroups, dtype=np.int64), padded // g)
+    first = np.ones(nsteps, dtype=np.int64)
+    first[1:] = (sg[1:] != sg[:-1]).astype(np.int64)
+    ginfo = (sg << 1 | first).astype(np.int32)
+
+    return Sell8WV2(
+        m=p.m, n=p.n, nnz_stored=p.nnz_stored, nslices=p.nslices,
+        g=g, ntiles=ntiles, nsteps=nsteps, value_mode=value_mode,
+        tinfo=tinfo, ginfo=ginfo, meta=meta, vals=vals, palette=palette)
 
 
 def estimate_sell8w_tiles(a: CsrMatrix) -> int:
@@ -84,6 +188,58 @@ def estimate_sell8w_tiles(a: CsrMatrix) -> int:
     return int(tiles.sum())
 
 
+def split_stragglers(a: CsrMatrix, min_pair: int = 12):
+    """Hybrid split: (a_main, (rows, cols, vals) remainder, rest_frac).
+
+    Every populated (slice, window) pair costs at least one full (8,128)
+    tile, so a sprinkle of long-range edges (community graphs' inter-cluster
+    links, power-law stragglers) can dominate the padding.  Pairs with fewer
+    than ``min_pair`` nonzeros are split out for the XLA gather path — the
+    ELL+COO hybrid, TPU-style.  O(nnz), sortless.
+    """
+    if a.nnz == 0:
+        return a, None, 0.0
+    nslices = -(-a.m // LANES)
+    nwin = -(-a.n // WINDOW)
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    key = (rows // LANES) * nwin + a.colidx.astype(np.int64) // WINDOW
+    if nslices * nwin > (1 << 28):
+        return a, None, 0.0                 # pair space too large to count
+    counts = np.bincount(key, minlength=nslices * nwin)
+    straggler = counts[key] < min_pair
+    frac = float(straggler.mean())
+    if frac == 0.0:
+        return a, None, 0.0
+    keep = ~straggler
+    lengths = np.bincount(rows[keep], minlength=a.m)
+    rowptr = np.zeros(a.m + 1, dtype=np.int64)
+    np.cumsum(lengths, out=rowptr[1:])
+    a_main = CsrMatrix(a.m, a.n, rowptr.astype(INT_DTYPE),
+                       a.colidx[keep], a.vals[keep])
+    rest = (rows[straggler].astype(INT_DTYPE), a.colidx[straggler],
+            a.vals[straggler])
+    return a_main, rest, frac
+
+
+def pairs_lower_bound(a: CsrMatrix) -> int:
+    """Sortless lower bound on tile count: distinct (slice, window) pairs.
+
+    O(nnz) bincount — cheap enough to gate every pack call (the sort-based
+    :func:`estimate_sell8w_tiles` costs seconds at multi-M nnz on this
+    host).  Returns 0 when the pair space is too large to bincount (caller
+    falls through to the exact post-pack check).
+    """
+    if a.nnz == 0:
+        return 0
+    nslices = -(-a.m // LANES)
+    nwin = -(-a.n // WINDOW)
+    if nslices * nwin > (1 << 28):
+        return 0
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    key = (rows // LANES) * nwin + a.colidx.astype(np.int64) // WINDOW
+    return int(np.count_nonzero(np.bincount(key, minlength=nslices * nwin)))
+
+
 def pack_sell8w(a: CsrMatrix, max_pad_ratio: Optional[float] = None,
                 use_native: bool = True) -> Sell8W:
     """Greedy tile packing.  Raises ValueError if the padding would exceed
@@ -94,12 +250,17 @@ def pack_sell8w(a: CsrMatrix, max_pad_ratio: Optional[float] = None,
     """
     nslices = max(-(-a.m // LANES), 1)
     if max_pad_ratio is not None and a.nnz:
-        est = estimate_sell8w_tiles(a)
-        if est * WINDOW / a.nnz > max_pad_ratio:
+        # sortless lower-bound gate: refuse exploding packings before
+        # materializing them (uniform-wide matrices would allocate GBs)
+        lb = pairs_lower_bound(a)
+        if lb * WINDOW / a.nnz > max_pad_ratio:
             raise ValueError(
-                f"sell8w padding estimate {est * WINDOW / a.nnz:.2f} exceeds "
-                f"max_pad_ratio={max_pad_ratio}")
+                f"sell8w padding lower bound {lb * WINDOW / a.nnz:.2f} "
+                f"exceeds max_pad_ratio={max_pad_ratio}")
     if use_native:
+        # No sort-based pre-estimate on the native path: the packer is fast
+        # enough that the exact post-pack pad check is the gate (the
+        # estimate pass cost ~2.6 s at 6M nnz on this host).
         from ..native import pack_sell8w_native
         packed = pack_sell8w_native(a.m, a.n, a.rowptr, a.colidx, a.vals)
         if packed is not None:
@@ -113,6 +274,13 @@ def pack_sell8w(a: CsrMatrix, max_pad_ratio: Optional[float] = None,
                     f"sell8w pad_ratio {out.pad_ratio:.2f} exceeds "
                     f"max_pad_ratio={max_pad_ratio}")
             return out
+    if max_pad_ratio is not None and a.nnz:
+        # python greedy is slow on exploding packings — gate on the estimate
+        est = estimate_sell8w_tiles(a)
+        if est * WINDOW / a.nnz > max_pad_ratio:
+            raise ValueError(
+                f"sell8w padding estimate {est * WINDOW / a.nnz:.2f} exceeds "
+                f"max_pad_ratio={max_pad_ratio}")
     rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
     cols = a.colidx.astype(np.int64)
     lane = (rows % LANES).astype(np.int32)

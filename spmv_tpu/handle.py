@@ -89,6 +89,15 @@ def _exec_scan_tiled(colidx_pad, vals_pad, row_start, row_end, x, tile):
                                    tile=tile)
 
 
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _exec_balanced2(colidx_pad, vals_pad, vrow_start, vrow_end,
+                    sub_start, sub_end, x, tile):
+    acc = _acc_dtype(vals_pad.dtype)
+    return xla_csr.balanced2_spmv(colidx_pad, vals_pad.astype(acc),
+                                  vrow_start, vrow_end, sub_start, sub_end,
+                                  x.astype(acc), tile=tile)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "nblock_rows"))
 def _exec_bcsr(blocks, block_rows, block_cols, x, m, nblock_rows):
     return xla_csr.bcsr_spmv(blocks, block_rows, block_cols,
@@ -134,6 +143,8 @@ class SpmvHandle:
     _cleared: bool = False
     _bound: Any = None           # plan-bound executable (x -> y), built once
     perm: Any = None             # reorder permutation (None if not reordered)
+    _matrix: Any = None          # host CsrMatrix, pre-reorder (kept until destroy)
+    _reorder: Optional[str] = None  # reorder kind requested at create
 
     def __call__(self, x) -> jax.Array:
         return spmv(self, x)
@@ -159,9 +170,38 @@ class SpmvHandle:
                 f"{extra})")
 
     def clear(self) -> None:
-        """Drop device buffers (reference spmv_clear_handle, common.c:31-41)."""
+        """Drop device buffers + per-method prep, keep the handle reusable.
+
+        Reference parity: ``spmv_clear_handle`` frees every per-method extra
+        handle but keeps the CSR matrix, so the handle can be re-prepped with
+        another method (common.c:31-41).  Use :meth:`prepare` to re-prep;
+        ``destroy`` additionally drops the matrix and ends the lifecycle.
+        """
         self.plan = {}
         self._bound = None
+
+    def prepare(self, method: Optional[Method] = None) -> "SpmvHandle":
+        """Re-prep a cleared handle on its retained matrix (reference flow:
+        clear + per-method ``*_get_handle``, common.c:31-41, :161-188)."""
+        if self._cleared or self._matrix is None:
+            raise RuntimeError("handle was destroyed; create a new one")
+        req = Method(method) if method is not None else self.requested_method
+        fresh = create_handle(self._matrix, method=req,
+                              nthreads=self.nthreads,
+                              vectorized=self.vectorized,
+                              mtx_token=self.mtx_token,
+                              reorder=self._reorder)
+        self.method = fresh.method
+        self.requested_method = req
+        self.plan = fresh.plan
+        self._bound = fresh._bound
+        self.perm = fresh.perm
+        return self
+
+    def destroy(self) -> None:
+        """End the lifecycle (reference spmv_destory_handle, spmv.h:19)."""
+        self.clear()
+        self._matrix = None
         self._cleared = True
 
 
@@ -175,11 +215,14 @@ def _tile_for(nnz: int, nthreads: int, method: Method) -> int:
     Mirrors the *intent* of the reference's per-thread quantile stride
     ceil(nnz/T) (parallel_balanced_spmv.c:41): enough tiles to saturate the
     machine, tiles long enough to amortize the carry pass.  Balanced2 uses
-    shorter tiles so mega-rows split across more tiles.
+    shorter tiles so mega-rows split across more tiles.  ``nthreads`` plays
+    its reference role as the requested parallelism degree: when given, the
+    plan guarantees at least that many tiles (each "thread" an equal-nnz
+    tile), like the reference's ceil(nnz/T) stride guarantees T chunks.
     """
     base = 4096 if method == Method.BALANCED else 1024
-    # keep at least ~64 tiles when the matrix allows it
-    while base > 256 and nnz // base < 64:
+    min_tiles = max(64, nthreads)
+    while base > 256 and nnz // base < min_tiles:
         base //= 2
     return base
 
@@ -199,11 +242,39 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
         # padding explodes (scattered matrices; the reorder layer shrinks
         # it).
         from .formats import sell8w as sell8w_fmt
+        from .ops.pallas_sell import V2_MAX_N
+
+        def _sell8w_plan(mat, extra):
+            packed = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=3.0)
+            plan = {"sell8w": packed, "pad_ratio": packed.pad_ratio}
+            if mat.n <= V2_MAX_N:
+                # v2 grouped kernel: x resident in VMEM, 16 tiles/step,
+                # palette/bf16-compressed values (measured ~1.8-3x the v1
+                # kernel on clustered matrices — baselines/probe*.out)
+                v2 = sell8w_fmt.plan_v2(packed)
+                plan["sell8w_v2"] = v2
+                plan["value_mode"] = v2.value_mode
+            plan.update(extra)
+            return plan
+
         try:
-            packed = sell8w_fmt.pack_sell8w(a, max_pad_ratio=3.0)
-            return {"sell8w": packed, "pad_ratio": packed.pad_ratio}
+            return _sell8w_plan(a, {})
         except ValueError:
-            pass  # fall through to the XLA plan
+            # Hybrid retry: a sprinkle of long-range nonzeros (each costing
+            # a full tile) may be all that fails the gate — route them
+            # through the XLA gather path instead (ELL+COO hybrid).
+            a_main, rest, frac = sell8w_fmt.split_stragglers(a)
+            if rest is not None and frac <= 0.05:
+                try:
+                    return _sell8w_plan(a_main, {
+                        "rest_rows": dev(rest[0]),
+                        "rest_cols": dev(rest[1]),
+                        "rest_vals": dev(rest[2]),
+                        "rest_frac": frac,
+                    })
+                except ValueError:
+                    pass
+            # fall through to the XLA plan
     if (method == Method.CSR5
             and vectorized != VectorizedWay.NONE
             and np.dtype(a.dtype) == np.float32
@@ -226,8 +297,28 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             "colidx": dev(a.colidx),
             "vals": dev(a.vals),
         }
-    if method in (Method.BALANCED, Method.BALANCED2, Method.BALANCED_YID,
-                  Method.CSR5):
+    if method == Method.BALANCED2:
+        # Distinct mega-row split algorithm; demotes to Balanced when no
+        # mega-row exists — the reference's rule
+        # (parallel_balanced2_spmv.c:87-90), surfaced via requested_method.
+        tile = _tile_for(a.nnz, nthreads, method)
+        b2 = partition.build_balanced2_plan(a, tile=tile)
+        if b2 is None:
+            plan = _build_plan(a, Method.BALANCED, nthreads, vectorized)
+            plan["demoted"] = True
+            return plan
+        return {
+            "tile": b2.inner.tile,
+            "colidx_pad": dev(b2.inner.colidx_pad),
+            "vals_pad": dev(b2.inner.vals_pad),
+            "vrow_start": dev(b2.inner.row_start),
+            "vrow_end": dev(b2.inner.row_end),
+            "sub_start": dev(b2.sub_ptr_start),
+            "sub_end": dev(b2.sub_ptr_end),
+            "m_virtual": b2.m_virtual,
+            "n_mega_rows": b2.n_mega_rows,
+        }
+    if method in (Method.BALANCED, Method.BALANCED_YID, Method.CSR5):
         tile = _tile_for(a.nnz, nthreads, method)
         p = partition.build_tile_scan_plan(a, tile=tile)
         return {
@@ -303,9 +394,18 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     """
     p = plan
     m = method
-    if "sell8w" in p:
-        from .ops.pallas_sell import build_sell8w_fn
-        return build_sell8w_fn(p["sell8w"])
+    if "sell8w_v2" in p or "sell8w" in p:
+        if "sell8w_v2" in p:
+            from .ops.pallas_sell import build_sell8w_v2_fn
+            inner = build_sell8w_v2_fn(p["sell8w_v2"])
+        else:
+            from .ops.pallas_sell import build_sell8w_fn
+            inner = build_sell8w_fn(p["sell8w"])
+        if "rest_rows" in p:
+            # hybrid: straggler nonzeros ride the XLA gather path
+            return lambda x: inner(x) + _exec_serial(
+                p["rest_rows"], p["rest_cols"], p["rest_vals"], x, m_rows)
+        return inner
     if "coo2" in p:
         from .ops.pallas_coo2 import build_coo2_fn
         return build_coo2_fn(p["coo2"])
@@ -315,6 +415,11 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     if m == Method.BALANCED_YID:
         return lambda x: _exec_scan_global(p["colidx_pad"], p["vals_pad"],
                                            p["row_start"], p["row_end"], x)
+    if m == Method.BALANCED2 and "sub_start" in p:
+        return lambda x: _exec_balanced2(p["colidx_pad"], p["vals_pad"],
+                                         p["vrow_start"], p["vrow_end"],
+                                         p["sub_start"], p["sub_end"], x,
+                                         p["tile"])
     if m in (Method.BALANCED, Method.BALANCED2, Method.CSR5):
         return lambda x: _exec_scan_tiled(p["colidx_pad"], p["vals_pad"],
                                           p["row_start"], p["row_end"], x,
@@ -353,7 +458,8 @@ def create_handle(a: CsrMatrix,
     ``spmv_create_handle_all_in_one`` (include/spmv.h:41-52).
 
     ``reorder``: optional locality pass before planning — "rcm" (bandwidth
-    reduction) or "window" (column clustering), square matrices only.  This
+    reduction), "window" (column clustering) or "cluster" (label-propagation
+    community clustering, the METIS k-way role), square matrices only.  This
     is the reference's OPT_LEVEL=3 METIS stage (common.c:144-156) made a
     first-class option; unlike the reference (whose HARNESS permutes x/y,
     test_spmv.c:95-101), the handle does both permutations internally so the
@@ -363,6 +469,7 @@ def create_handle(a: CsrMatrix,
     """
     _ensure_x64_if_needed(a.dtype)
     requested = Method(method)
+    a_orig = a
     perm = None
     if reorder is not None:
         from .formats import reorder as reorder_mod
@@ -374,6 +481,8 @@ def create_handle(a: CsrMatrix,
             perm = reorder_mod.rcm_order(a)
         elif reorder == "window":
             perm = reorder_mod.window_cluster_order(a)
+        elif reorder == "cluster":
+            perm = reorder_mod.cluster_order(a)
         else:
             raise ValueError(f"unknown reorder kind {reorder!r}")
         a, _ = reorder_mod.reorder_symmetric(a, perm)
@@ -381,7 +490,22 @@ def create_handle(a: CsrMatrix,
     if requested == Method.AUTO:
         from .inspector import choose_method
         resolved = choose_method(a)
+    if (VectorizedWay(vectorized) == VectorizedWay.MXU
+            and resolved in (Method.PARALLEL, Method.SELL_C_SIGMA,
+                             Method.CSR5) and a.nnz > 0):
+        # MXU = route reductions through the systolic array where the
+        # structure permits: the BCSR batched-matmul plan (the reference's
+        # widest-SIMD slot, VECTOR_AVX512 — which its dispatch never honors;
+        # here the knob is real).  Falls through to the VPU/XLA plans when
+        # the matrix has no dense 128x128 block structure worth densifying.
+        # Like the Balanced2 demotion, requested_method records the ask.
+        from .formats import bcsr as bcsr_fmt
+        nblocks, fill = bcsr_fmt.bcsr_profile(a)
+        if fill >= 0.02 and nblocks * bcsr_fmt.BLOCK ** 2 * 8 <= 4e9:
+            resolved = Method.BCSR
     plan = _build_plan(a, resolved, nthreads, VectorizedWay(vectorized))
+    if plan.pop("demoted", False):
+        resolved = Method.BALANCED    # reference's balanced2 demotion rule
     bound = _make_bound(resolved, plan, a.m)
     if perm is not None:
         perm_dev = jax.device_put(jnp.asarray(perm.astype(INT_DTYPE)))
@@ -396,7 +520,7 @@ def create_handle(a: CsrMatrix,
         dtype=np.dtype(a.dtype) if a.dtype != jnp.bfloat16 else a.dtype,
         m=a.m, n=a.n, nnz=a.nnz, nthreads=nthreads,
         vectorized=VectorizedWay(vectorized), mtx_token=mtx_token, plan=plan,
-        _bound=bound,
+        _bound=bound, _matrix=a_orig, _reorder=reorder,
     )
     h.perm = perm
     if warm:
@@ -444,7 +568,7 @@ def spmv_clear_handle(handle: SpmvHandle) -> None:
 
 def spmv_destroy_handle(handle: SpmvHandle) -> None:
     if handle is not None:
-        handle.clear()
+        handle.destroy()
 
 
 #: the reference spells it "destory" (include/spmv.h:19) — keep the alias

@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["load_native", "native_available", "parse_mtx",
-           "pack_sell8w_native", "coo2_place_native"]
+           "pack_sell8w_native", "coo2_place_native", "coo2_pack_all_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "spmv_native.cpp")
 _SO = os.path.join(os.path.dirname(__file__), "_spmv_native.so")
@@ -101,6 +101,20 @@ def load_native() -> Optional[ctypes.CDLL]:
                                                 np.float32, np.int64)]
         lib.coo2_free.restype = None
         lib.coo2_free.argtypes = [c.c_void_p]
+        lib.coo2_pack_all.restype = c.c_void_p
+        lib.coo2_pack_all.argtypes = [
+            c.c_int64, c.c_int64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            c.c_int64, c.POINTER(c.c_int64)]
+        lib.coo2_all_copy.restype = None
+        lib.coo2_all_copy.argtypes = [c.c_void_p] + [
+            np.ctypeslib.ndpointer(d) for d in (np.int32, np.int16,
+                                                np.float32, np.int32,
+                                                np.int32)]
+        lib.coo2_all_free.restype = None
+        lib.coo2_all_free.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
 
@@ -153,6 +167,38 @@ def pack_sell8w_native(m: int, n: int, rowptr: np.ndarray,
                 vtiles.reshape(t, 8, 128))
     finally:
         lib.sell8w_free(h)
+
+
+def coo2_pack_all_native(m, n, rowptr, colidx, vals, super_slices):
+    """(window_ids, meta, vals_tiles, r_rowptr, r_colidx) or None.
+
+    The fused pipeline: counting-sort by (super, window), greedy placement,
+    and the pass-2 R matrix in CSR form — one C++ pass instead of four
+    numpy stages (see spmv_native.cpp coo2_pack_all)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, np.int32)
+    colidx = np.ascontiguousarray(colidx, np.int32)
+    vals32 = np.ascontiguousarray(vals, np.float32)
+    nnz = int(rowptr[-1])
+    ntiles = ctypes.c_int64(0)
+    h = lib.coo2_pack_all(m, n, rowptr, colidx, vals32, super_slices,
+                          ctypes.byref(ntiles))
+    if not h:
+        return None
+    try:
+        t = int(ntiles.value)
+        window_ids = np.empty(t, np.int32)
+        meta = np.empty(t * 8 * 128, np.int16)
+        vtiles = np.empty(t * 8 * 128, np.float32)
+        r_rowptr = np.empty(m + 1, np.int32)
+        r_colidx = np.empty(nnz, np.int32)
+        lib.coo2_all_copy(h, window_ids, meta, vtiles, r_rowptr, r_colidx)
+        return (window_ids, meta.reshape(t, 8, 128),
+                vtiles.reshape(t, 8, 128), r_rowptr, r_colidx)
+    finally:
+        lib.coo2_all_free(h)
 
 
 def coo2_place_native(s_arr, r_arr, v_arr, group_w, group_lo, group_hi):

@@ -13,6 +13,7 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in the image).
 
+#include <algorithm>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
@@ -372,3 +373,140 @@ extern "C" void coo2_copy(void* h, int32_t* window_ids, int16_t* meta,
 }
 
 extern "C" void coo2_free(void* h) { delete static_cast<Coo2Buffer*>(h); }
+
+// ---------------------------------------------------------------------------
+// Fused COO2 pipeline: CSR in → pass-1 tiles + pass-2 R matrix (CSR) out.
+// Replaces the python stages (derive keys, group sort, place, R from_coo)
+// that cost ~7 s at 6.3M nnz on this host (VERDICT round-1 item 2).
+// Group key = (super_slice, window); a stable counting sort preserves CSR
+// (row, col) order within groups — behavior-identical to the python path's
+// stable argsort.  R rows come out with positions sorted ascending, matching
+// CsrMatrix.from_coo's (row, position) lexsort.
+// ---------------------------------------------------------------------------
+struct Coo2AllBuffer {
+  std::vector<int32_t> window_ids;
+  std::vector<int16_t> meta;
+  std::vector<float> vals;
+  std::vector<int32_t> r_rowptr;    // (m+1,)
+  std::vector<int32_t> r_colidx;    // (nnz,) positions, sorted within rows
+};
+
+extern "C" void* coo2_pack_all(int64_t m, int64_t n, const int32_t* rowptr,
+                               const int32_t* colidx, const float* vals,
+                               int64_t super_slices, int64_t* ntiles_out) {
+  int64_t nnz = rowptr[m];
+  int64_t nwin = n / kWindow + 2;
+  int64_t nsup = ((m > 0 ? (m - 1) / kLanes : 0) / super_slices) + 1;
+  int64_t nkeys = nsup * nwin;
+
+  // 1. stable counting sort by (sup, window)
+  std::vector<int64_t> counts(static_cast<size_t>(nkeys) + 1, 0);
+  for (int64_t row = 0; row < m; ++row) {
+    int64_t sup = (row / kLanes) / super_slices;
+    for (int32_t k = rowptr[row]; k < rowptr[row + 1]; ++k)
+      ++counts[sup * nwin + colidx[k] / kWindow + 1];
+  }
+  for (size_t i = 1; i < counts.size(); ++i) counts[i] += counts[i - 1];
+  struct Elem { int32_t row; int16_t s; int16_t r; float v; };
+  std::vector<Elem> elems(static_cast<size_t>(nnz));
+  {
+    std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+    for (int64_t row = 0; row < m; ++row) {
+      int64_t sup = (row / kLanes) / super_slices;
+      for (int32_t k = rowptr[row]; k < rowptr[row + 1]; ++k) {
+        int32_t c = colidx[k];
+        Elem& e = elems[static_cast<size_t>(cursor[sup * nwin + c / kWindow]++)];
+        e.row = static_cast<int32_t>(row);
+        e.s = static_cast<int16_t>((c % kWindow) / kLanes);
+        e.r = static_cast<int16_t>(c % kLanes);
+        e.v = vals[k];
+      }
+    }
+  }
+
+  // 2. greedy placement per populated group (same loop as coo2_place)
+  auto* out = new Coo2AllBuffer();
+  std::vector<int64_t> positions(static_cast<size_t>(nnz));
+  std::vector<int16_t> stab(kSub * kLanes);
+  std::vector<int16_t> rslot(kSub * kLanes);
+  std::vector<float> vtile(kSub * kLanes);
+  int64_t next_free[kSub];
+  std::vector<int64_t> pending, overflow;
+  for (int64_t key = 0; key < nkeys; ++key) {
+    int64_t lo = counts[key], hi = counts[key + 1];
+    if (lo >= hi) continue;
+    int32_t wdx = static_cast<int32_t>(key % nwin);
+    pending.clear();
+    for (int64_t e = lo; e < hi; ++e) pending.push_back(e);
+    while (!pending.empty()) {
+      std::fill(stab.begin(), stab.end(), static_cast<int16_t>(-1));
+      std::fill(rslot.begin(), rslot.end(), static_cast<int16_t>(0));
+      std::fill(vtile.begin(), vtile.end(), 0.0f);
+      std::fill(next_free, next_free + kSub, 0);
+      overflow.clear();
+      int64_t t_idx = static_cast<int64_t>(out->window_ids.size());
+      for (int64_t e : pending) {
+        int16_t s_e = elems[e].s, r_e = elems[e].r;
+        bool placed = false;
+        for (int i = 0; i < kSub; ++i) {
+          int16_t& st = stab[i * kLanes + r_e];
+          if (next_free[i] < kLanes && (st == -1 || st == s_e)) {
+            int64_t j = next_free[i]++;
+            st = s_e;
+            rslot[i * kLanes + j] = r_e;
+            vtile[i * kLanes + j] = elems[e].v;
+            positions[static_cast<size_t>(e)] = t_idx * kWindow + i * kLanes + j;
+            placed = true;
+            break;
+          }
+        }
+        if (!placed) overflow.push_back(e);
+      }
+      out->window_ids.push_back(wdx);
+      size_t base = out->meta.size();
+      out->meta.resize(base + kSub * kLanes);
+      out->vals.resize(base + kSub * kLanes);
+      for (int i = 0; i < kSub * kLanes; ++i) {
+        int16_t st = stab[i] < 0 ? 0 : stab[i];
+        out->meta[base + i] = static_cast<int16_t>((st << 7) | rslot[i]);
+        out->vals[base + i] = vtile[i];
+      }
+      pending.swap(overflow);
+    }
+  }
+
+  // 3. R matrix CSR: positions bucketed per original row, sorted ascending
+  out->r_rowptr.assign(static_cast<size_t>(m) + 1, 0);
+  for (const Elem& e : elems) ++out->r_rowptr[static_cast<size_t>(e.row) + 1];
+  for (int64_t i = 1; i <= m; ++i) out->r_rowptr[i] += out->r_rowptr[i - 1];
+  out->r_colidx.resize(static_cast<size_t>(nnz));
+  {
+    std::vector<int32_t> cursor(out->r_rowptr.begin(), out->r_rowptr.end() - 1);
+    for (int64_t e = 0; e < nnz; ++e)
+      out->r_colidx[static_cast<size_t>(cursor[elems[e].row]++)] =
+          static_cast<int32_t>(positions[e]);
+    for (int64_t row = 0; row < m; ++row)
+      std::sort(out->r_colidx.begin() + out->r_rowptr[row],
+                out->r_colidx.begin() + out->r_rowptr[row + 1]);
+  }
+  *ntiles_out = static_cast<int64_t>(out->window_ids.size());
+  return out;
+}
+
+extern "C" void coo2_all_copy(void* h, int32_t* window_ids, int16_t* meta,
+                              float* vals, int32_t* r_rowptr,
+                              int32_t* r_colidx) {
+  auto* b = static_cast<Coo2AllBuffer*>(h);
+  std::memcpy(window_ids, b->window_ids.data(),
+              b->window_ids.size() * sizeof(int32_t));
+  std::memcpy(meta, b->meta.data(), b->meta.size() * sizeof(int16_t));
+  std::memcpy(vals, b->vals.data(), b->vals.size() * sizeof(float));
+  std::memcpy(r_rowptr, b->r_rowptr.data(),
+              b->r_rowptr.size() * sizeof(int32_t));
+  std::memcpy(r_colidx, b->r_colidx.data(),
+              b->r_colidx.size() * sizeof(int32_t));
+}
+
+extern "C" void coo2_all_free(void* h) {
+  delete static_cast<Coo2AllBuffer*>(h);
+}

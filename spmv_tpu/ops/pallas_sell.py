@@ -31,9 +31,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.sell8w import Sell8W, LANES, SUB, WINDOW
+from ..formats.sell8w import Sell8W, Sell8WV2, plan_v2, LANES, SUB, WINDOW
 
-__all__ = ["build_sell8w_fn", "sell8w_spmv", "pack_gpk"]
+__all__ = ["build_sell8w_fn", "build_sell8w_v2_fn", "sell8w_spmv",
+           "pack_gpk", "V2_MAX_N"]
+
+#: v2 keeps x resident in VMEM; past this n it falls back to the v1 kernel
+#: (x2 bytes ≈ n·4; leave VMEM room for tile double-buffering).
+V2_MAX_N = 2_000_000
 
 
 def pack_gpk(slice_ids) -> np.ndarray:
@@ -117,6 +122,108 @@ def _run(window_ids, gpk, x, meta, vals, *, ntiles, nslices, n,
         interpret=interpret,
     )(*args)
     return out
+
+
+def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
+               o_ref, *, g: int, value_mode: str):
+    """v2 body: G tiles per grid step, x resident in VMEM.
+
+    Measured motivation (baselines/probe_step.out, probe3.out): the v1
+    kernel's one-tile steps cost ~250 ns each regardless of work, and the
+    values stream triples the tile traffic; v2 amortizes the step cost G×
+    and compresses values (palette codes in meta bits 10-15, or bf16).
+    """
+    p = pl.program_id(0)
+    gi = ginfo_ref[p]
+
+    @pl.when((gi & 1) == 1)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    acc = jnp.zeros((SUB, LANES), jnp.float32)
+    for k in range(g):
+        ti = tinfo_ref[p * g + k]
+        xwin = x_ref[pl.ds((ti >> 3) * SUB, SUB), :]
+        m = meta_ref[k].astype(jnp.int32)
+        t1 = jnp.take_along_axis(xwin, (m >> 7) & 7, axis=0)
+        xg = jnp.take_along_axis(t1, m & 127, axis=1)
+        if value_mode == "palette":
+            # decode values from the resident palette row (code = bits 10-15)
+            v = jnp.take_along_axis(pal_ref[:], (m >> 10) & 63, axis=1)
+        else:
+            v = vals_ref[k].astype(jnp.float32)
+        contrib = jnp.sum(v * xg, axis=0)                # (128,) lane sums
+        row = ti & 7
+        mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) == row
+        acc += jnp.where(mask, contrib[None, :], 0.0)
+    o_ref[0] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("g", "value_mode", "nsteps",
+                                             "nslices", "n", "interpret"))
+def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
+            nslices, n, interpret=False):
+    n_pad = -(-n // WINDOW) * WINDOW
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
+    x2 = x.astype(jnp.float32).reshape(-1, LANES)
+    ngroups = max(-(-nslices // SUB), 1)
+    nrows_x2 = n_pad // LANES
+
+    tile_spec = pl.BlockSpec((g, SUB, LANES), lambda t, ti, gi: (t, 0, 0))
+    const_spec = pl.BlockSpec((SUB, LANES), lambda t, ti, gi: (0, 0))
+    in_specs = [pl.BlockSpec((nrows_x2, LANES), lambda t, ti, gi: (0, 0)),
+                tile_spec,
+                tile_spec if value_mode != "palette" else const_spec,
+                const_spec]
+    args = (x2, meta,
+            vals if value_mode != "palette" else jnp.zeros((SUB, LANES),
+                                                           jnp.float32),
+            pal)
+    kern = functools.partial(_kernel_v2, g=g, value_mode=value_mode)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, SUB, LANES),
+                               lambda t, ti, gi: (gi[t] >> 1, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tinfo, ginfo, *args)
+    return out
+
+
+def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False):
+    """x -> y closure over the v2 grouped tile stream.
+
+    Accepts a :class:`Sell8W` (regrouped here) or a prebuilt
+    :class:`Sell8WV2`.  Requires n ≤ V2_MAX_N (x resident in VMEM).
+    """
+    v2 = packed if isinstance(packed, Sell8WV2) else plan_v2(packed, g=g)
+    if v2.n > V2_MAX_N:
+        raise ValueError(f"v2 kernel needs n <= {V2_MAX_N}, got {v2.n}")
+    tinfo = jnp.asarray(v2.tinfo)
+    ginfo = jnp.asarray(v2.ginfo)
+    meta = jnp.asarray(v2.meta)
+    vals = (jnp.asarray(v2.vals) if v2.vals is not None
+            else None)
+    pal = jnp.asarray(np.tile(
+        (v2.palette if v2.palette is not None
+         else np.zeros(LANES, np.float32))[None, :], (SUB, 1)))
+    m, n, nsteps, nslices = v2.m, v2.n, v2.nsteps, v2.nslices
+    value_mode, G = v2.value_mode, v2.g
+
+    def fn(x):
+        out = _run_v2(tinfo, ginfo, x, meta, vals, pal,
+                      g=G, value_mode=value_mode, nsteps=nsteps,
+                      nslices=nslices, n=n, interpret=interpret)
+        return out.reshape(-1)[:m]
+
+    return fn
 
 
 def build_sell8w_fn(packed: Sell8W, interpret: bool = False,

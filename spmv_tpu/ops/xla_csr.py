@@ -25,6 +25,7 @@ __all__ = [
     "segment_sum_spmv",
     "scan_spmv_global",
     "scan_spmv_tiled",
+    "balanced2_spmv",
     "sell_spmv",
     "dia_spmv",
     "bcsr_spmv",
@@ -85,6 +86,22 @@ def scan_spmv_tiled(colidx_pad, vals_pad, row_start, row_end, x, *, tile: int):
     carry = jnp.concatenate([jnp.zeros((1,), carry.dtype), carry[:-1]])
     csum = (local + carry[:, None]).reshape(-1)
     return gather_x(csum, row_end) - gather_x(csum, row_start)
+
+
+def balanced2_spmv(colidx_pad, vals_pad, vrow_start, vrow_end,
+                   sub_start, sub_end, x, *, tile: int):
+    """Method_Balanced2 plan: mega-row split + two-level reduction.
+
+    Stage 1 computes every *virtual sub-row* (mega-rows pre-split into
+    ≤ tile-nnz chunks at handle time, formats/partition.py) with the tiled
+    scan; stage 2 folds sub-row runs back into rows with a second short
+    prefix scan — the scan-algebra equivalent of the reference's per-thread
+    partial sums + serial reduction (parallel_balanced2_spmv.c:264-282).
+    """
+    y_v = scan_spmv_tiled(colidx_pad, vals_pad, vrow_start, vrow_end, x,
+                          tile=tile)
+    csum2 = jnp.concatenate([jnp.zeros((1,), y_v.dtype), jnp.cumsum(y_v)])
+    return gather_x(csum2, sub_end) - gather_x(csum2, sub_start)
 
 
 def sell_spmv(cols, vals, chunk_ids, inv_pos, x, *, nslices: int,

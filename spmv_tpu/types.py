@@ -167,12 +167,23 @@ class CsrMatrix:
         rows = _as_int_array(rows, "rows")
         cols = _as_int_array(cols, "cols")
         vals = np.ascontiguousarray(vals)
-        order = np.lexsort((cols, rows))
+        if rows.size and m * n <= (1 << 62):
+            # single fused int64 key sorts ~3x faster than a 2-key lexsort
+            # on this host (pre-deal hotspot at multi-M nnz)
+            key = rows.astype(np.int64) * n + cols
+            order = np.argsort(key, kind="stable")
+            key = key[order]
+        else:
+            order = np.lexsort((cols, rows))
+            key = None
         rows, cols, vals = rows[order], cols[order], vals[order]
         if sum_duplicates and rows.size:
             key_new = np.empty(rows.size, dtype=bool)
             key_new[0] = True
-            key_new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+            if key is not None:
+                key_new[1:] = key[1:] != key[:-1]
+            else:
+                key_new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
             group = np.cumsum(key_new) - 1
             rows_u = rows[key_new]
             cols_u = cols[key_new]

@@ -158,5 +158,5 @@ def test_dist_general_halo(halo):
 
 def test_dist_general_halo_rejects_scatter():
     a = generate.random_uniform(512, 512, 6, seed=3)   # scattered columns
-    with pytest.raises(ValueError, match="escape"):
+    with pytest.raises(ValueError, match="halo depth"):
         build_dist_plan(a, make_mesh_1d(8), x_mode="halo")
