@@ -80,12 +80,15 @@ class Sell8WV2:
     g: int                     # tiles per grid step
     ntiles: int                # padded to G per slice-group
     nsteps: int
-    value_mode: str            # "palette" | "bf16" | "f32"
+    value_mode: str       # "palette" | "bf16" | "f32" | "df" | "palette_df"
     tinfo: np.ndarray          # (ntiles,) int32: window << 3 | row_in_group
     ginfo: np.ndarray          # (nsteps,) int32: group << 1 | first_flag
     meta: np.ndarray           # (ntiles, 8, 128) int16 (s<<7|r | code<<10)
     vals: Optional[np.ndarray]  # (ntiles, 8, 128) f32/bf16, None for palette
     palette: Optional[np.ndarray]  # (128,) f32, palette[0] == 0
+    # double-float (f64 ≈ hi + lo in two f32) extras — None outside df modes
+    vals_lo: Optional[np.ndarray] = None     # (ntiles, 8, 128) f32
+    palette_lo: Optional[np.ndarray] = None  # (128,) f32
 
     @property
     def pad_ratio(self) -> float:
@@ -107,13 +110,21 @@ def value_palette(vals: np.ndarray, max_entries: int = 64):
     return palette, codes.astype(np.int16)
 
 
-def plan_v2(p: Sell8W, g: int = 16) -> Sell8WV2:
+def plan_v2(p: Sell8W, g: int = 16,
+            lo_tiles: Optional[np.ndarray] = None) -> Sell8WV2:
     """Regroup a v1 tile stream for the v2 kernel.
 
     Pads each slice-GROUP's tile run to a multiple of ``g`` with zero tiles
     (value 0 ⇒ contributes nothing) so no grid step straddles an output
     block, picks the value mode, and packs palette codes into meta bits
     10-15.
+
+    ``lo_tiles``: the f64 path — (ntiles,8,128) f32 low parts such that the
+    stored f64 value ≈ vals + lo_tiles (double-float).  The greedy placement
+    is value-independent, so the caller obtains it by packing the SAME
+    matrix twice (vals=hi, vals=lo) — identical slots guaranteed.  Selects
+    value_mode "palette_df" (≤64 distinct f64 values — both palettes ride
+    one meta code) or "df".
     """
     ngroups = max(-(-p.nslices // SUB), 1)
     groups = p.slice_ids.astype(np.int64) // SUB
@@ -131,9 +142,49 @@ def plan_v2(p: Sell8W, g: int = 16) -> Sell8WV2:
     tinfo[dest] = (p.window_ids.astype(np.int64) << 3
                    | (p.slice_ids.astype(np.int64) % SUB)).astype(np.int32)
 
-    pal = value_palette(p.vals.reshape(-1))
     vals = None
+    vals_lo = None
     palette = None
+    palette_lo = None
+    if lo_tiles is not None:
+        # f64 double-float path: hi/lo f32 pairs, same slot layout
+        v64 = (p.vals.astype(np.float64)
+               + lo_tiles.astype(np.float64)).reshape(-1)
+        uniq = np.unique(v64)
+        uniq = uniq[uniq != 0.0]
+        if len(uniq) + 1 <= 64:
+            # exact-f64 palette, split into hi/lo decode rows
+            pal_f64 = np.zeros(LANES, dtype=np.float64)
+            pal_f64[1: 1 + len(uniq)] = uniq
+            codes = np.searchsorted(uniq, v64) + 1
+            codes[v64 == 0.0] = 0
+            palette = pal_f64.astype(np.float32)
+            palette_lo = (pal_f64 - palette.astype(np.float64)) \
+                .astype(np.float32)
+            value_mode = "palette_df"
+            code_t = np.zeros((ntiles, SUB, LANES), dtype=np.int64)
+            code_t[dest] = codes.astype(np.int64).reshape(p.ntiles, SUB,
+                                                          LANES)
+            meta = ((meta.astype(np.int64) & 0x3FF) | (code_t << 10)) \
+                .astype(np.uint16).view(np.int16)
+        else:
+            value_mode = "df"
+            vals = np.zeros((ntiles, SUB, LANES), dtype=np.float32)
+            vals[dest] = p.vals.astype(np.float32)
+            vals_lo = np.zeros((ntiles, SUB, LANES), dtype=np.float32)
+            vals_lo[dest] = lo_tiles.astype(np.float32)
+        nsteps = ntiles // g
+        sg = np.repeat(np.arange(ngroups, dtype=np.int64), padded // g)
+        first = np.ones(nsteps, dtype=np.int64)
+        first[1:] = (sg[1:] != sg[:-1]).astype(np.int64)
+        ginfo = (sg << 1 | first).astype(np.int32)
+        return Sell8WV2(
+            m=p.m, n=p.n, nnz_stored=p.nnz_stored, nslices=p.nslices,
+            g=g, ntiles=ntiles, nsteps=nsteps, value_mode=value_mode,
+            tinfo=tinfo, ginfo=ginfo, meta=meta, vals=vals,
+            palette=palette, vals_lo=vals_lo, palette_lo=palette_lo)
+
+    pal = value_palette(p.vals.reshape(-1))
     if pal is not None:
         palette, codes = pal
         value_mode = "palette"

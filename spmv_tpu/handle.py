@@ -233,7 +233,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
     dev = jax.device_put
     if (method in (Method.SELL_C_SIGMA, Method.PARALLEL)
             and vectorized != VectorizedWay.NONE
-            and np.dtype(a.dtype) == np.float32
+            and (np.dtype(a.dtype) == np.float32
+                 or (np.dtype(a.dtype) == np.float64 and a.n <= 2_000_000))
             and jax.default_backend() == "tpu"):
         # Pallas windowed-gather kernel (ops/pallas_sell.py) — the VPU path,
         # analog of the reference's AVX2 line-product kernels.  SELL-8W
@@ -245,6 +246,21 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
         from .ops.pallas_sell import V2_MAX_N
 
         def _sell8w_plan(mat, extra):
+            if np.dtype(mat.dtype) == np.float64:
+                # f64 = double-float v2 kernel: the greedy placement is
+                # value-independent, so packing twice (vals = hi, vals =
+                # lo) yields slot-aligned hi/lo tile pairs
+                hi = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=3.0)
+                hi_back = np.asarray(
+                    mat.vals.astype(np.float32), dtype=np.float64)
+                lo = sell8w_fmt.pack_sell8w(
+                    CsrMatrix(mat.m, mat.n, mat.rowptr, mat.colidx,
+                              (mat.vals - hi_back).astype(np.float32)))
+                v2 = sell8w_fmt.plan_v2(hi, lo_tiles=lo.vals)
+                plan = {"sell8w": hi, "pad_ratio": hi.pad_ratio,
+                        "sell8w_v2": v2, "value_mode": v2.value_mode}
+                plan.update(extra)
+                return plan
             packed = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=3.0)
             plan = {"sell8w": packed, "pad_ratio": packed.pad_ratio}
             if mat.n <= V2_MAX_N:

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax
@@ -76,6 +76,13 @@ class DistSpmvPlan:
     row_end: jax.Array           # (ndev, mr)
     out_index: jax.Array         # (m,) gather map from (ndev*mr,) to row order
     identity_out: bool = False   # out_index is arange(m) → skip the gather
+    # halo mode: separate LOCAL stream (no dependency on the ppermute ring,
+    # overlappable with the exchange); the main stream holds the REMOTE nnz
+    loc_colidx: Any = None       # (ndev, L2)
+    loc_vals: Any = None
+    loc_row_start: Any = None
+    loc_row_end: Any = None
+    loc_tile: int = 0
     _exec: object = None         # cached jitted executable
 
     def __call__(self, x) -> jax.Array:
@@ -86,6 +93,24 @@ def _pad_to(arr: np.ndarray, length: int, fill=0) -> np.ndarray:
     out = np.full(length, fill, dtype=arr.dtype)
     out[: len(arr)] = arr
     return out
+
+
+def _put_sharded(arr, sharding):
+    """``device_put`` that also works on meshes spanning multiple processes.
+
+    Multi-host placement (jax.distributed) cannot device_put onto
+    non-addressable devices; build the global array from the host copy via
+    per-shard callbacks instead (every process holds the same host array —
+    the builders are deterministic).
+    """
+    local = jax.process_count() == 1 or all(
+        d.process_index == jax.process_index()
+        for d in sharding.device_set)
+    if local:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 def build_dist_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
@@ -206,29 +231,51 @@ def _build_dist_plan_halo(a: CsrMatrix, mesh: Mesh, axis: str,
             "columns reach too far — reorder for locality (cluster/rcm) "
             "or use x_mode='allgather'")
 
-    shard_nnz = rowptr64[splitter[1:]] - rowptr64[splitter[:-1]]
-    L = max(-(-(int(shard_nnz.max()) + 1) // tile) * tile, tile)
-    colidx = np.zeros((ndev, L), dtype=INT_DTYPE)
-    vals = np.zeros((ndev, L), dtype=a.vals.dtype)
-    row_start = np.zeros((ndev, mr), dtype=INT_DTYPE)
-    row_end = np.zeros((ndev, mr), dtype=INT_DTYPE)
+    # Two nnz streams per shard — LOCAL (column owned by the shard itself)
+    # and REMOTE (column in a neighbor block).  The local scan has no data
+    # dependency on the ppermute ring, so XLA can overlap the halo exchange
+    # with the bulk of the compute (SURVEY §7 step 6's "free win"; the
+    # locality reorder makes the local stream the large one).
+    loc_counts = np.zeros((ndev, mr), dtype=np.int64)
+    rem_counts = np.zeros((ndev, mr), dtype=np.int64)
+    loc_streams, rem_streams = [], []
     for d in range(ndev):
         r0, r1 = int(splitter[d]), int(splitter[d + 1])
         p0, p1 = int(rowptr64[r0]), int(rowptr64[r1])
-        nr = r1 - r0
         cols_d = a.colidx[p0:p1].astype(np.int64)
-        # localize columns into the assembled window of 2h+1 mr-wide blocks:
-        # col c (owner e, offset c - splitter[e]) sits at
-        # (e - (d-h))*mr + offset
+        vals_d = a.vals[p0:p1]
         own = owner_of[cols_d] if cols_d.size else cols_d
+        is_loc = own == d
+        # per-row counts (rows are sorted in the CSR stream)
+        rows_d = np.repeat(np.arange(r1 - r0),
+                           np.diff(rowptr64[r0:r1 + 1]).astype(np.int64))
+        np.add.at(loc_counts[d], rows_d[is_loc], 1)
+        np.add.at(rem_counts[d], rows_d[~is_loc], 1)
         local = (own - (d - h)) * mr + (cols_d - splitter[own])
-        colidx[d, 1: 1 + p1 - p0] = local.astype(INT_DTYPE)
-        vals[d, 1: 1 + p1 - p0] = a.vals[p0:p1]
-        row_start[d, :nr] = (rowptr64[r0:r1] - p0).astype(INT_DTYPE)
-        row_end[d, :nr] = (rowptr64[r0 + 1: r1 + 1] - p0).astype(INT_DTYPE)
+        loc_streams.append(((cols_d - splitter[d])[is_loc],
+                            vals_d[is_loc]))
+        rem_streams.append((local[~is_loc], vals_d[~is_loc]))
+
+    def _stack(streams, counts):
+        ln = max(max((len(c) for c, _ in streams), default=0) + 1, 1)
+        L = max(-(-ln // tile) * tile, tile)
+        colidx = np.zeros((ndev, L), dtype=INT_DTYPE)
+        vals = np.zeros((ndev, L), dtype=a.vals.dtype)
+        row_start = np.zeros((ndev, mr), dtype=INT_DTYPE)
+        row_end = np.zeros((ndev, mr), dtype=INT_DTYPE)
+        for d, (c, v) in enumerate(streams):
+            colidx[d, 1: 1 + len(c)] = c.astype(INT_DTYPE)
+            vals[d, 1: 1 + len(v)] = v
+            ends = np.cumsum(counts[d])
+            row_start[d] = (ends - counts[d]).astype(INT_DTYPE)
+            row_end[d] = ends.astype(INT_DTYPE)
+        return colidx, vals, row_start, row_end
+
+    colidx, vals, row_start, row_end = _stack(rem_streams, rem_counts)
+    lcol, lval, lstart, lend = _stack(loc_streams, loc_counts)
 
     sh = functools.partial(NamedSharding, mesh)
-    dev_sharded = lambda arr: jax.device_put(arr, sh(P(axis)))
+    dev_sharded = lambda arr: _put_sharded(arr, sh(P(axis)))
     plan = DistSpmvPlan(
         mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
         tile=tile, mr=mr, row_splitter=splitter, x_mode="halo",
@@ -236,8 +283,13 @@ def _build_dist_plan_halo(a: CsrMatrix, mesh: Mesh, axis: str,
         vals_pad=dev_sharded(vals),
         row_start=dev_sharded(row_start),
         row_end=dev_sharded(row_end),
-        out_index=jax.device_put(out_index, sh(P())),
+        out_index=_put_sharded(out_index, sh(P())),
         identity_out=identity_out,
+        loc_colidx=dev_sharded(lcol),
+        loc_vals=dev_sharded(lval),
+        loc_row_start=dev_sharded(lstart),
+        loc_row_end=dev_sharded(lend),
+        loc_tile=tile,
     )
     plan._halo = h
     plan._bx = mr
@@ -263,14 +315,18 @@ def _build_executable(plan: DistSpmvPlan):
     halo = getattr(plan, "_halo", 0) if plan.x_mode == "halo" else 0
     ndev = plan.ndev
 
-    def shard_body(colidx, vals, row_start, row_end, x):
-        # blocks arrive as (1, L) / (1, mr) — one shard of the leading dim
-        if x_sharded:
-            x = jax.lax.all_gather(x, axis, tiled=True)
-        elif halo:
+    identity_out = plan.identity_out
+    m = plan.m
+
+    if halo:
+        def shard_body(colidx, vals, row_start, row_end,
+                       lcol, lval, lstart, lend, x):
             # assemble [own-h .. own+h] blocks via ppermute rings; circular
             # wrap values are dead weight (columns never escape the window,
-            # enforced at build), localized indices point into this window
+            # enforced at build), localized indices point into this window.
+            # The LOCAL stream depends only on the own block, so XLA is free
+            # to overlap the ring exchange with it (the two scans join only
+            # at the final add — SURVEY §7 step 6's comm/compute overlap).
             xb = x[0]
             parts = [xb]
             fwd = xb
@@ -281,7 +337,37 @@ def _build_executable(plan: DistSpmvPlan):
                 bwd = jax.lax.ppermute(
                     bwd, axis, [(i, (i - 1) % ndev) for i in range(ndev)])
                 parts = [fwd] + parts + [bwd]
-            x = jnp.concatenate(parts)
+            x_ext = jnp.concatenate(parts)
+            y_loc = xla_csr.scan_spmv_tiled(lcol[0], lval[0], lstart[0],
+                                            lend[0], xb,
+                                            tile=plan.loc_tile)
+            y_rem = xla_csr.scan_spmv_tiled(colidx[0], vals[0],
+                                            row_start[0], row_end[0],
+                                            x_ext, tile=plan.tile)
+            return (y_loc + y_rem)[None, :]
+
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(axis),) * 8 + (P(axis),),
+            out_specs=P(axis),
+        )
+
+        @jax.jit
+        def run_halo(colidx, vals, row_start, row_end,
+                     lcol, lval, lstart, lend, x, out_index):
+            x = x.reshape(ndev, -1)
+            y_blocks = smap(colidx, vals, row_start, row_end,
+                            lcol, lval, lstart, lend, x)
+            if identity_out:
+                return y_blocks.reshape(-1)[:m]
+            return xla_csr.gather_x(y_blocks.reshape(-1), out_index)
+
+        return run_halo
+
+    def shard_body(colidx, vals, row_start, row_end, x):
+        # blocks arrive as (1, L) / (1, mr) — one shard of the leading dim
+        if x_sharded:
+            x = jax.lax.all_gather(x, axis, tiled=True)
         y = xla_csr.scan_spmv_tiled(colidx[0], vals[0], row_start[0],
                                     row_end[0], x, tile=plan.tile)
         return y[None, :]
@@ -289,17 +375,12 @@ def _build_executable(plan: DistSpmvPlan):
     smap = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
-                  P(axis) if (x_sharded or halo) else P()),
+                  P(axis) if x_sharded else P()),
         out_specs=P(axis),
     )
 
-    identity_out = plan.identity_out
-    m = plan.m
-
     @jax.jit
     def run(colidx, vals, row_start, row_end, x, out_index):
-        if halo:
-            x = x.reshape(ndev, -1)
         y_blocks = smap(colidx, vals, row_start, row_end, x)  # (ndev*mr,)
         if identity_out:
             # uniform splits lay blocks out in row order already — the gather
@@ -334,6 +415,11 @@ def dist_spmv(plan: DistSpmvPlan, x) -> jax.Array:
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
+    if plan.x_mode == "halo":
+        return plan._exec(plan.colidx_pad, plan.vals_pad, plan.row_start,
+                          plan.row_end, plan.loc_colidx, plan.loc_vals,
+                          plan.loc_row_start, plan.loc_row_end, x,
+                          plan.out_index)
     return plan._exec(plan.colidx_pad, plan.vals_pad, plan.row_start,
                       plan.row_end, x, plan.out_index)
 
@@ -535,7 +621,7 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
                            max_pad_ratio: float = None,
                            interpret: bool = False) -> DistSell8WPlan:
     from ..formats.sell8w import pack_sell8w, SUB, LANES
-    if x_mode not in ("replicated", "allgather"):
+    if x_mode not in ("replicated", "allgather", "halo"):
         raise ValueError(f"unknown x_mode {x_mode!r}")
     if np.dtype(a.dtype) != np.float32:
         raise ValueError(
@@ -545,6 +631,24 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     ndev = mesh.shape[axis]
     mr = max(-(-a.m // (ndev * LANES)) * LANES, LANES)
     rowptr64 = a.rowptr.astype(np.int64)
+
+    halo = 0
+    if x_mode == "halo":
+        # ring depth from the data: furthest row-block any shard's columns
+        # touch (x blocks = row blocks here; m == n required)
+        if a.m != a.n:
+            raise ValueError("halo mode requires a square matrix")
+        for d in range(ndev):
+            p0 = int(rowptr64[min(d * mr, a.m)])
+            p1 = int(rowptr64[min((d + 1) * mr, a.m)])
+            if p1 > p0:
+                own = a.colidx[p0:p1] // mr
+                halo = max(halo, d - int(own.min()), int(own.max()) - d)
+        halo = max(halo, 1)
+        if 2 * halo + 1 > ndev:
+            raise ValueError(
+                f"halo depth {halo} needs {2 * halo + 1} blocks > "
+                f"ndev={ndev}; reorder for locality or use 'allgather'")
 
     packs = []
     for d in range(ndev):
@@ -556,8 +660,15 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
             local_rowptr[: r1 - r0 + 1] = seg
             local_rowptr[r1 - r0 + 1:] = seg[-1]
         p0, p1 = int(rowptr64[r0]), int(rowptr64[r1])
-        local = CsrMatrix(mr, a.n, local_rowptr.astype(INT_DTYPE),
-                          a.colidx[p0:p1], a.vals[p0:p1])
+        cols_d = a.colidx[p0:p1]
+        n_local = a.n
+        if x_mode == "halo":
+            # localize into the assembled (2h+1)-block window
+            cols_d = (cols_d.astype(np.int64) - (d - halo) * mr) \
+                .astype(INT_DTYPE)
+            n_local = (2 * halo + 1) * mr
+        local = CsrMatrix(mr, n_local, local_rowptr.astype(INT_DTYPE),
+                          cols_d, a.vals[p0:p1])
         packs.append(pack_sell8w(local, max_pad_ratio=max_pad_ratio))
 
     ntiles = max(p.ntiles for p in packs)
@@ -577,7 +688,7 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
         if p.ntiles < ntiles:
             gpk[d, p.ntiles:] = (ngroups - 1) << 4
 
-    sh = lambda arr: jax.device_put(arr, NamedSharding(mesh, P(axis)))
+    sh = lambda arr: _put_sharded(arr, NamedSharding(mesh, P(axis)))
     plan = DistSell8WPlan(
         mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
         mr=mr, ntiles=ntiles, nslices=nslices,
@@ -585,6 +696,7 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
         x_mode=x_mode,
         max_pad=max(p.pad_ratio for p in packs) if packs else 0.0,
     )
+    plan._halo = halo
     plan._exec = _build_sell8w_executable(plan, interpret)
     return plan
 
@@ -593,7 +705,10 @@ def _build_sell8w_executable(plan: DistSell8WPlan, interpret: bool):
     from ..ops.pallas_sell import _run
     mesh, axis = plan.mesh, plan.axis
     x_sharded = plan.x_mode == "allgather"
+    halo = getattr(plan, "_halo", 0) if plan.x_mode == "halo" else 0
     ntiles, nslices, n, mr = plan.ntiles, plan.nslices, plan.n, plan.mr
+    ndev = plan.ndev
+    n_local = (2 * halo + 1) * mr if halo else n
 
     def shard_body(win, gpk, meta, vals, x):
         if x_sharded:
@@ -601,21 +716,36 @@ def _build_sell8w_executable(plan: DistSell8WPlan, interpret: bool):
             # window padding requires exactly n (measured reshape crash
             # when n % ndev != 0)
             x = jax.lax.all_gather(x, axis, tiled=True)[:n]
+        elif halo:
+            # neighbor x blocks via ppermute rings (O(halo·mr) per shard)
+            xb = x[0]
+            parts = [xb]
+            fwd = xb
+            bwd = xb
+            for _ in range(halo):
+                fwd = jax.lax.ppermute(
+                    fwd, axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+                bwd = jax.lax.ppermute(
+                    bwd, axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+                parts = [fwd] + parts + [bwd]
+            x = jnp.concatenate(parts)
         out = _run(win[0], gpk[0], x, meta[0], vals[0],
-                   ntiles=ntiles, nslices=nslices, n=n,
+                   ntiles=ntiles, nslices=nslices, n=n_local,
                    interpret=interpret)
         return out.reshape(-1)[None, :mr]
 
     smap = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
-                  P(axis) if x_sharded else P()),
+                  P(axis) if (x_sharded or halo) else P()),
         out_specs=P(axis),
         check_vma=False,   # pallas_call outputs carry no vma info
     )
 
     @jax.jit
     def run(win, gpk, meta, vals, x):
+        if halo:
+            x = x.reshape(ndev, -1)
         return smap(win, gpk, meta, vals, x).reshape(-1)
 
     return run
@@ -629,6 +759,9 @@ def dist_sell8w_spmv(plan: DistSell8WPlan, x) -> jax.Array:
         n_pad = -(-plan.n // plan.ndev) * plan.ndev
         if n_pad != plan.n:
             x = jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
+        x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
+    elif plan.x_mode == "halo":
+        x = _pad_x(x, plan.n, plan.mr * plan.ndev)
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))

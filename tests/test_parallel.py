@@ -59,7 +59,7 @@ def test_dist_dia(matrices, x_mode):
                                    atol=1e-12, err_msg=f"{name} {x_mode}")
 
 
-@pytest.mark.parametrize("x_mode", ["replicated", "allgather"])
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather", "halo"])
 def test_dist_sell8w(x_mode):
     from spmv_tpu.parallel import build_dist_sell8w_plan, dist_sell8w_spmv
     a = generate.clustered(1500, 1500, 20, spread=200,
