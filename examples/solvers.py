@@ -23,46 +23,7 @@ import jax.numpy as jnp
 import spmv_tpu as st
 
 
-def conjugate_gradient(h: st.SpmvHandle, b, tol=1e-6, maxiter=500):
-    """CG for SPD A, entirely on device (one jitted while_loop)."""
-    spmv = h._bound
-
-    def body(state):
-        x, r, p, rs, it = state
-        ap = spmv(p)
-        alpha = rs / jnp.vdot(p, ap)
-        x = x + alpha * p
-        r = r - alpha * ap
-        rs_new = jnp.vdot(r, r)
-        p = r + (rs_new / rs) * p
-        return x, r, p, rs_new, it + 1
-
-    def cond(state):
-        _, _, _, rs, it = state
-        return jnp.logical_and(rs > tol * tol, it < maxiter)
-
-    b = jnp.asarray(b)
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    state = (x0, r0, r0, jnp.vdot(r0, r0), jnp.asarray(0))
-    x, r, _, rs, iters = jax.lax.while_loop(cond, body, state)
-    return x, float(jnp.sqrt(rs)), int(iters)
-
-
-def power_iteration(h: st.SpmvHandle, iters=100, seed=0):
-    """Dominant eigenvalue of A via repeated SpMV."""
-    spmv = h._bound
-    v = jnp.asarray(np.random.default_rng(seed).standard_normal(h.n)
-                    .astype(np.float32 if h.dtype == np.float32
-                            else np.float64))
-
-    def body(i, v):
-        w = spmv(v)
-        return w / jnp.linalg.norm(w)
-
-    v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
-    lam = jnp.vdot(v, spmv(v))
-    return float(lam), v
+from spmv_tpu.solvers import bicgstab, cg, power_iteration
 
 
 def main():
@@ -81,11 +42,15 @@ def main():
     h = st.create_handle(sym)
     b = np.random.default_rng(2).standard_normal(sym.n)
     b = b.astype(dtype)
-    x, res, iters = conjugate_gradient(h, b, tol=1e-5 if dtype == np.float32 else 1e-6)
+    x, res, iters = cg(h, b, tol=1e-5 if dtype == np.float32 else 1e-6)
     print(f"CG: method={h.method_name}, {iters} iterations, "
           f"residual {res:.2e}")
     check = np.asarray(st.spmv(h, x)) - np.asarray(b)
     print(f"   |Ax-b| = {np.abs(check).max():.2e}")
+
+    xb, resb, itb = bicgstab(h, b, tol=1e-5 if dtype == np.float32
+                             else 1e-6)
+    print(f"BiCGSTAB: {itb} iterations, residual {resb:.2e}")
 
     lam, _ = power_iteration(h, iters=50)
     print(f"power iteration: lambda_max ~ {lam:.4f}")

@@ -43,14 +43,28 @@ def main():
     print("tune picked:", h.method_name,
           {k: f"{v*1e3:.2f}ms" for k, v in timings.items()})
 
+    # -- f64 (double-float Pallas tier on TPU; plain f64 on CPU) ----------
+    a64 = generate.clustered(2000, 2000, 16, spread=250, dtype=np.float64)
+    h64 = st.create_handle(a64, method=st.Method.SELL_C_SIGMA)
+    x64 = np.random.default_rng(2).standard_normal(2000)
+    y64 = np.asarray(st.spmv(h64, x64))
+    ref64 = st.spmv_golden(a64, x64)
+    print(f"f64 handle: {h64!r}  maxrel="
+          f"{np.abs(y64-ref64).max()/np.abs(ref64).max():.1e}")
+
     # -- locality reordering ----------------------------------------------
     scramble = np.random.default_rng(1).permutation(2000)
     scrambled, _ = st.formats.reorder.reorder_symmetric(
         zoo["clustered"], scramble)
     h2 = st.create_handle(scrambled, method=st.Method.BALANCED,
-                          reorder="rcm")
+                          reorder="cluster")   # label-propagation (METIS role)
     x = np.ones(2000, np.float32)
     print("reordered handle:", repr(h2), "perm set:", h2.perm is not None)
+
+    # -- handle lifecycle: clear + re-prep (reference parity) --------------
+    h2.clear()
+    h2.prepare(st.Method.BALANCED_YID)
+    print("re-prepped:", h2.method_name)
 
     # -- multi-chip (virtual mesh on CPU, real mesh on a pod) -------------
     import jax

@@ -20,7 +20,7 @@ from .handle import (
     spmv_destory_handle,
 )
 from .inspector import featurize, choose_method, tune, MatrixFeatures
-from . import io, formats, ops, parallel, bench, utils
+from . import io, formats, ops, parallel, bench, solvers, utils
 
 __version__ = "0.1.0"
 
@@ -31,5 +31,6 @@ __all__ = [
     "spmv_create_handle_all_in_one", "spmv_clear_handle",
     "spmv_destroy_handle", "spmv_destory_handle",
     "featurize", "choose_method", "tune", "MatrixFeatures",
+    "solvers",
     "__version__",
 ]

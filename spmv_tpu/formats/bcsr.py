@@ -52,12 +52,16 @@ class BcsrMatrix:
         return self.nnz_stored / max(self.blocks.size, 1)
 
 
-def pack_bcsr(a: CsrMatrix, max_blocks: int = None) -> BcsrMatrix:
-    """Dtype-preserving (f64 stays f64 — reference parity; bf16 packs f32).
+def pack_bcsr(a: CsrMatrix, max_blocks: int = None,
+              compress: str = "lossless") -> BcsrMatrix:
+    """Dtype-preserving (f64 stays f64 — reference parity).
 
-    ``max_blocks`` guards the dense-block allocation (64-512 KB per block):
-    scattered matrices can touch one block per few nonzeros, turning this
-    into a multi-GB densification.
+    ``compress="lossless"``: f32 blocks whose values all round-trip bf16
+    exactly are stored bf16 — halves the dominant HBM stream (the dense
+    blocks) with zero accuracy change (accumulation stays f32; the same
+    trick as DIA's lossless-bf16 diagonals).  ``max_blocks`` guards the
+    dense-block allocation: scattered matrices can touch one block per few
+    nonzeros, turning this into a multi-GB densification.
     """
     rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
     cols = a.colidx.astype(np.int64)
@@ -71,6 +75,11 @@ def pack_bcsr(a: CsrMatrix, max_blocks: int = None) -> BcsrMatrix:
     dtype = np.float32 if np.dtype(a.dtype).itemsize <= 4 else np.float64
     blocks = np.zeros((len(uniq), BLOCK, BLOCK), dtype=dtype)
     blocks[inv, rows % BLOCK, cols % BLOCK] = a.vals.astype(dtype)
+    if compress == "lossless" and dtype == np.float32:
+        from .dia import is_lossless_bf16
+        if is_lossless_bf16(a.vals):
+            import ml_dtypes
+            blocks = blocks.astype(ml_dtypes.bfloat16)
     return BcsrMatrix(
         m=a.m, n=a.n, nnz_stored=a.nnz, nblocks=len(uniq),
         block_rows=(uniq // ncb).astype(INT_DTYPE),

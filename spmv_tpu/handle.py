@@ -100,8 +100,10 @@ def _exec_balanced2(colidx_pad, vals_pad, vrow_start, vrow_end,
 
 @functools.partial(jax.jit, static_argnames=("m", "nblock_rows"))
 def _exec_bcsr(blocks, block_rows, block_cols, x, m, nblock_rows):
+    # bf16 blocks (lossless compression) keep x and accumulation in f32
+    x_t = jnp.float32 if blocks.dtype == jnp.bfloat16 else blocks.dtype
     return xla_csr.bcsr_spmv(blocks, block_rows, block_cols,
-                             x.astype(blocks.dtype), m=m,
+                             x.astype(x_t), m=m,
                              nblock_rows=nblock_rows)
 
 
@@ -263,13 +265,16 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 return plan
             packed = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=3.0)
             plan = {"sell8w": packed, "pad_ratio": packed.pad_ratio}
+            # grouped kernels (16 tiles/step, palette/bf16 value
+            # compression — measured ~21 ns/tile marginal vs ~250 ns for
+            # one-tile steps, baselines/probe*.out): v2 keeps x resident
+            # in VMEM; past V2_MAX_N the v2w variant DMAs per-tile windows
+            v2 = sell8w_fmt.plan_v2(packed)
+            plan["value_mode"] = v2.value_mode
             if mat.n <= V2_MAX_N:
-                # v2 grouped kernel: x resident in VMEM, 16 tiles/step,
-                # palette/bf16-compressed values (measured ~1.8-3x the v1
-                # kernel on clustered matrices — baselines/probe*.out)
-                v2 = sell8w_fmt.plan_v2(packed)
                 plan["sell8w_v2"] = v2
-                plan["value_mode"] = v2.value_mode
+            else:
+                plan["sell8w_v2w"] = v2
             plan.update(extra)
             return plan
 
@@ -388,6 +393,16 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
         }
     if method in (Method.PARALLEL, Method.SELL_C_SIGMA):
         sigma = 1 if method == Method.PARALLEL else 32 * sell_fmt.LANES
+        # Mega-row matrices explode chunked-ELL padding (depth = slice max
+        # row; measured 104 s pre-deal / 0.003 GFLOP/s on powerlaw at σ=1).
+        # Estimate first and fall back to the tiled scan — the reference
+        # eats the same explosion (its σ-sort can't fix a mega-row either).
+        from .inspector import _sell_pad_ratio
+        if a.nnz and _sell_pad_ratio(a.row_lengths.astype(np.int64),
+                                     sigma=max(sigma, 1)) > 8.0:
+            plan = _build_plan(a, Method.BALANCED, nthreads, vectorized)
+            plan["sell_fallback"] = "scan"
+            return plan
         s = sell_fmt.pack_sell(a, sigma=sigma)
         return {
             "cols": dev(s.cols),
@@ -410,10 +425,13 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     """
     p = plan
     m = method
-    if "sell8w_v2" in p or "sell8w" in p:
+    if "sell8w_v2" in p or "sell8w_v2w" in p or "sell8w" in p:
         if "sell8w_v2" in p:
             from .ops.pallas_sell import build_sell8w_v2_fn
             inner = build_sell8w_v2_fn(p["sell8w_v2"])
+        elif "sell8w_v2w" in p:
+            from .ops.pallas_sell import build_sell8w_v2w_fn
+            inner = build_sell8w_v2w_fn(p["sell8w_v2w"])
         else:
             from .ops.pallas_sell import build_sell8w_fn
             inner = build_sell8w_fn(p["sell8w"])
@@ -441,6 +459,10 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
                                           p["row_start"], p["row_end"], x,
                                           p["tile"])
     if m in (Method.PARALLEL, Method.SELL_C_SIGMA):
+        if "sell_fallback" in p:      # mega-row pad explosion → tiled scan
+            return lambda x: _exec_scan_tiled(p["colidx_pad"],
+                                              p["vals_pad"], p["row_start"],
+                                              p["row_end"], x, p["tile"])
         return lambda x: _exec_sell(p["cols"], p["vals"], p["chunk_ids"],
                                     p["inv_pos"], x, p["nslices"],
                                     p["identity_order"])

@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.sell8w import Sell8W, Sell8WV2, plan_v2, LANES, SUB, WINDOW
 
-__all__ = ["build_sell8w_fn", "build_sell8w_v2_fn", "sell8w_spmv",
-           "pack_gpk", "V2_MAX_N"]
+__all__ = ["build_sell8w_fn", "build_sell8w_v2_fn", "build_sell8w_v2w_fn",
+           "sell8w_spmv", "pack_gpk", "V2_MAX_N"]
 
 #: v2 keeps x resident in VMEM; past this n it falls back to the v1 kernel
 #: (x2 bytes ≈ n·4; leave VMEM room for tile double-buffering).
@@ -209,6 +209,148 @@ def _ob(x):
     tests therefore assert structure + f32-level accuracy only, with the
     tight accuracy bound checked on hardware (tests/test_sell8w_f64.py)."""
     return x
+
+
+def _make_kernel_v2w(g: int, value_mode: str):
+    """v2w: G tiles per grid step with PER-TILE x-window DMAs.
+
+    The VMEM-resident-x v2 kernel needs n ≤ V2_MAX_N; v2w keeps the
+    grouped-step amortization (measured ~21 ns/tile marginal vs ~250 ns
+    for one-tile steps) for arbitrary n by declaring G window inputs, each
+    DMA'd through its own scalar-prefetched index_map.  ``binary`` mode is
+    the COO2 R-reduction (values ≡ 1.0, validity in meta bit 15)."""
+    def kern(*refs):
+        tinfo_ref, ginfo_ref = refs[0], refs[1]
+        wins = refs[2: 2 + g]
+        rest = refs[2 + g:]
+        if value_mode in ("f32", "bf16"):
+            meta_ref, vals_ref, pal_ref = rest[0], rest[1], rest[2]
+        else:
+            meta_ref, pal_ref = rest[0], rest[1]
+            vals_ref = None
+        o_ref = rest[-1]
+        p = pl.program_id(0)
+        gi = ginfo_ref[p]
+
+        @pl.when((gi & 1) == 1)
+        def _():
+            o_ref[0] = jnp.zeros_like(o_ref[0])
+
+        acc = jnp.zeros((SUB, LANES), jnp.float32)
+        for k in range(g):
+            ti = tinfo_ref[p * g + k]
+            m = meta_ref[k].astype(jnp.int32)
+            t1 = jnp.take_along_axis(wins[k][:], (m >> 7) & 7, axis=0)
+            xg = jnp.take_along_axis(t1, m & 127, axis=1)
+            if value_mode == "palette":
+                v = jnp.take_along_axis(pal_ref[:], (m >> 10) & 63, axis=1)
+                contrib = jnp.sum(v * xg, axis=0)
+            elif value_mode == "binary":
+                # validity rides the int16 sign (bit 15); int16 vector
+                # compares don't lower — compare in int32
+                contrib = jnp.sum(jnp.where(m < 0, xg, 0.0), axis=0)
+            else:
+                contrib = jnp.sum(vals_ref[k].astype(jnp.float32) * xg,
+                                  axis=0)
+            row = ti & 7
+            mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES),
+                                            0) == row
+            acc += jnp.where(mask, contrib[None, :], 0.0)
+        o_ref[0] += acc
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("g", "value_mode", "nsteps",
+                                             "nslices", "n", "interpret"))
+def _run_v2w(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
+             nslices, n, interpret=False):
+    n_pad = -(-n // WINDOW) * WINDOW
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
+    x2 = x.astype(jnp.float32).reshape(-1, LANES)
+    ngroups = max(-(-nslices // SUB), 1)
+
+    def win_spec(k):
+        return pl.BlockSpec((SUB, LANES),
+                            lambda t, ti, gi, _k=k: (ti[t * g + _k] >> 3, 0))
+
+    tile_spec = pl.BlockSpec((g, SUB, LANES), lambda t, ti, gi: (t, 0, 0))
+    const_spec = pl.BlockSpec((SUB, LANES), lambda t, ti, gi: (0, 0))
+    in_specs = [win_spec(k) for k in range(g)] + [tile_spec]
+    args = [x2] * g + [meta]
+    if value_mode in ("f32", "bf16"):
+        in_specs.append(tile_spec)
+        args.append(vals)
+    in_specs.append(const_spec)
+    args.append(pal if pal is not None
+                else jnp.zeros((SUB, LANES), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, SUB, LANES),
+                               lambda t, ti, gi: (gi[t] >> 1, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_kernel_v2w(g, value_mode),
+        out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tinfo, ginfo, *args)
+    return out
+
+
+def build_sell8w_v2w_fn(packed, g: int = 16, binary: bool = False,
+                        interpret: bool = False):
+    """x -> y closure over the grouped windowed-DMA kernel (any n).
+
+    ``binary=True``: every stored value is 1.0 with validity in meta bit
+    15 (the COO2 R reduction) — drops the values stream entirely.
+    """
+    v2 = packed if isinstance(packed, Sell8WV2) else plan_v2(packed, g=g)
+    tinfo = jnp.asarray(v2.tinfo)
+    ginfo = jnp.asarray(v2.ginfo)
+    if binary:
+        if not isinstance(packed, Sell8W):
+            raise ValueError("binary mode needs the raw Sell8W packing")
+        # rebuild meta with the validity bit from the v1 stream, regrouped
+        valid = (packed.vals != 0)
+        meta16 = (packed.meta.astype(np.int32)
+                  | (valid.astype(np.int32) << 15)) & 0xFFFF
+        meta_v1 = meta16.astype(np.uint16).view(np.int16)
+        meta_np = np.zeros_like(v2.meta)
+        # plan_v2 placed tile t at position dest[t]; recover by matching
+        # tinfo/meta layout: regroup with the same padding computation
+        groups = packed.slice_ids.astype(np.int64) // SUB
+        ngroups = max(-(-packed.nslices // SUB), 1)
+        counts = np.bincount(groups, minlength=ngroups)
+        padded = np.maximum(-(-counts // v2.g) * v2.g, v2.g)
+        starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+        dest = starts[groups] + (np.arange(packed.ntiles)
+                                 - np.concatenate(
+                                     [[0], np.cumsum(counts)[:-1]])[groups])
+        meta_np[dest] = meta_v1
+        meta = jnp.asarray(meta_np)
+        vals = None
+        value_mode = "binary"
+    else:
+        meta = jnp.asarray(v2.meta)
+        vals = jnp.asarray(v2.vals) if v2.vals is not None else None
+        value_mode = v2.value_mode
+        if value_mode in ("df", "palette_df"):
+            raise ValueError("v2w has no double-float path yet; use v2")
+    pal = (jnp.asarray(np.tile(v2.palette[None, :], (SUB, 1)))
+           if v2.palette is not None else None)
+    m, n, nsteps, nslices = v2.m, v2.n, v2.nsteps, v2.nslices
+    G = v2.g
+
+    def fn(x):
+        out = _run_v2w(tinfo, ginfo, x, meta, vals, pal, g=G,
+                       value_mode=value_mode, nsteps=nsteps,
+                       nslices=nslices, n=n, interpret=interpret)
+        return out.reshape(-1)[:m]
+
+    return fn
 
 
 def _two_sum(a, b):

@@ -169,7 +169,8 @@ def bcsr_spmv(blocks, block_rows, block_cols, x, *, m: int,
     x2 = x.reshape(-1, 128)
     xb = x2[block_cols]                                   # (nb, 128) gather
     acc_t = blocks.dtype if blocks.dtype == jnp.float64 else jnp.float32
-    partial = jnp.einsum("bij,bj->bi", blocks, xb,
+    # bf16 blocks (lossless storage) upcast in-register; accumulate f32
+    partial = jnp.einsum("bij,bj->bi", blocks.astype(acc_t), xb,
                          preferred_element_type=acc_t)
     partial = jax.lax.optimization_barrier(partial)
     y2 = jax.ops.segment_sum(partial, block_rows,
