@@ -32,19 +32,19 @@ REFS = {
 }
 
 
-def _gen_all():
+def _gen_one(name):
     from spmv_tpu.io import generate
-    return {
-        "banded4m": generate.banded(4_000_000, 4_000_000, 4,
-                                    dtype=np.float32, seed=7),
-        "clustered200k": generate.clustered(200_000, 200_000, 32,
-                                            spread=512, dtype=np.float32,
-                                            seed=9),
-        "uniform100k": generate.random_uniform(100_000, 100_000, 40,
-                                               dtype=np.float32, seed=42),
-        "powerlaw100k": generate.power_law(100_000, 100_000, 40 * 100_000,
-                                           dtype=np.float32, seed=2),
-    }
+    if name == "banded4m":
+        return generate.banded(4_000_000, 4_000_000, 4, dtype=np.float32,
+                               seed=7)
+    if name == "clustered200k":
+        return generate.clustered(200_000, 200_000, 32, spread=512,
+                                  dtype=np.float32, seed=9)
+    if name == "uniform100k":
+        return generate.random_uniform(100_000, 100_000, 40,
+                                       dtype=np.float32, seed=42)
+    return generate.power_law(100_000, 100_000, 40 * 100_000,
+                              dtype=np.float32, seed=2)
 
 
 def main() -> int:
@@ -54,40 +54,45 @@ def main() -> int:
     from spmv_tpu import create_handle, Method
     from spmv_tpu.bench.timing import time_spmv_chain
 
-    mats = _gen_all()
-    handles = {}
-    predeal = {}
-    for name, a in mats.items():
+    # One matrix at a time: generate, build the handle (the measured
+    # pre-deal), then drop the host CSR before the next — holding all four
+    # (~50M nnz of int64 temporaries) doubles the banded pack time from
+    # host memory pressure alone.
+    names = list(REFS)
+    handles, predeal, xs, dims = {}, {}, {}, {}
+    for name in names:
+        a = _gen_one(name)
         t0 = time.perf_counter()
         handles[name] = create_handle(a, method=Method.AUTO)
         predeal[name] = round((time.perf_counter() - t0) * 1e3, 1)
+        xs[name] = jnp.asarray(np.random.default_rng(0)
+                               .standard_normal(a.n).astype(np.float32))
+        dims[name] = a.nnz
+        del a
 
-    xs = {name: jnp.asarray(np.random.default_rng(0)
-                            .standard_normal(a.n).astype(np.float32))
-          for name, a in mats.items()}
-
-    best = {name: None for name in mats}
+    best = {name: None for name in names}
     for window in range(2):
-        for name, a in mats.items():
+        for name in names:
             r = time_spmv_chain(handles[name]._bound, xs[name],
-                                iters=10, k=8, repeats=2)
+                                iters=10, k=32, repeats=2)
             if best[name] is None or r["inclusive"] < best[name]["inclusive"]:
                 best[name] = r
         if window == 0:
             time.sleep(15)
 
     configs = {}
-    for name, a in mats.items():
+    for name in names:
+        nnz = dims[name]
         r = best[name]
-        gflops = 2 * a.nnz / r["inclusive"] / 1e9
+        gflops = 2 * nnz / r["inclusive"] / 1e9
         ref_label, ref = REFS[name]
         h = handles[name]
         configs[name] = {
             "gflops": round(gflops, 2),
-            "gflops_marginal": round(2 * a.nnz / r["marginal"] / 1e9, 2),
+            "gflops_marginal": round(2 * nnz / r["marginal"] / 1e9, 2),
             "ms": round(r["inclusive"] * 1e3, 3),
             "sync_bubble_ms": round(r["bubble"] * 1e3, 3),
-            "nnz": a.nnz,
+            "nnz": nnz,
             "method": h.method_name,
             "value_mode": h.plan.get("value_mode"),
             "predeal_ms": predeal[name],
@@ -104,12 +109,14 @@ def main() -> int:
         "vs_baseline": head["vs_ref"],
         "configs": configs,
         "timing_protocol": "honest chained-k dependent-SpMV protocol "
-                           "(PERFNOTES.md): k=8 data-dependent SpMVs per "
+                           "(PERFNOTES.md): k=32 data-dependent SpMVs per "
                            "loop iteration amortize the device's "
                            "per-iteration sync bubble (~2.9 ms in "
                            "throttled states, paid even by a tiny "
-                           "elementwise op — baselines/probe5.out); "
-                           "gflops = inclusive T(k)/k (conservative), "
+                           "elementwise op — baselines/probe5.out; the "
+                           "bubble is a tunnel artifact, so inclusive "
+                           "still carries 1/32 of it to stay "
+                           "conservative); gflops = inclusive T(k)/k, "
                            "gflops_marginal = (T(k)-T(1))/(k-1); best of "
                            "2 windows",
     }))

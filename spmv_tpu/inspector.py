@@ -93,6 +93,42 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
     )
 
 
+def _decide(f) -> Method:
+    """The method-selection gates over a feature getter ``f(name)``.
+
+    Gates are ordered cheapest-feature-first so the staged path in
+    :func:`choose_method` can stop computing features at the first hit.
+    """
+    if f("nnz") == 0 or f("m") == 0:
+        return Method.SERIAL
+    # Banded/diagonal structure → the zero-gather streaming plan (the only
+    # SpMV this device runs at full bandwidth, PERFNOTES.md).  Fill gate:
+    # streamed zeros must not exceed ~3× the nnz, and the unrolled
+    # per-diagonal op count must stay compile-friendly.
+    ndiags = f("ndiags")
+    if ndiags and ndiags <= 256 and f("dia_fill") >= 0.3:
+        return Method.DIA
+    # Dense 128x128 block structure → MXU batched matmuls (the only plan
+    # whose irregular ops scale as nnz/16384 instead of nnz).
+    if f("block_fill") >= 0.15:
+        return Method.BCSR
+    # Tiny matrices: compile-simple serial plan is fine.
+    if f("nnz") < 10_000:
+        return Method.SERIAL
+    # Window locality good enough for the Pallas windowed kernel (the
+    # handle routes SELL_C_SIGMA+VPU there, handle.py) — the dominant
+    # winner on this hardware whenever padding is bounded.
+    if f("sell8w_pad") <= 3.0:
+        return Method.SELL_C_SIGMA
+    # Moderate column scatter: the two-pass COO2 path (CSR5's TPU analog).
+    if f("coo2_pad") <= 6.0:
+        return Method.CSR5
+    if f("sell_pad_ratio") <= 1.6:
+        return Method.SELL_C_SIGMA
+    # Heavy skew / mega-rows: exact-nnz scan handles any distribution.
+    return Method.BALANCED
+
+
 def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
     """Pick the fastest plan for this matrix on TPU.
 
@@ -102,35 +138,44 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
     prefer SELL while padding is modest; fall back to the tiled scan when
     padding explodes (extreme row-length skew) — the same regime where the
     reference switches from SELL to balanced2/CSR5.
+
+    Without ``feats`` the features are computed lazily, cheapest first —
+    an obviously banded matrix is routed to DIA after one structure probe
+    instead of paying the multi-second SELL-8W tile estimate at 36M nnz
+    (measured 10.2 s → 1.0 s on banded4m).
     """
-    f = feats or featurize(a)
-    if f.nnz == 0 or f.m == 0:
-        return Method.SERIAL
-    # Banded/diagonal structure → the zero-gather streaming plan (the only
-    # SpMV this device runs at full bandwidth, PERFNOTES.md).  Fill gate:
-    # streamed zeros must not exceed ~3× the nnz, and the unrolled
-    # per-diagonal op count must stay compile-friendly.
-    if f.ndiags and f.ndiags <= 256 and f.dia_fill >= 0.3:
-        return Method.DIA
-    # Dense 128x128 block structure → MXU batched matmuls (the only plan
-    # whose irregular ops scale as nnz/16384 instead of nnz).
-    if f.block_fill >= 0.15:
-        return Method.BCSR
-    # Tiny matrices: compile-simple serial plan is fine.
-    if f.nnz < 10_000:
-        return Method.SERIAL
-    # Window locality good enough for the Pallas windowed kernel (the
-    # handle routes SELL_C_SIGMA+VPU there, handle.py) — the dominant
-    # winner on this hardware whenever padding is bounded.
-    if f.sell8w_pad <= 3.0:
-        return Method.SELL_C_SIGMA
-    # Moderate column scatter: the two-pass COO2 path (CSR5's TPU analog).
-    if f.coo2_pad <= 6.0:
-        return Method.CSR5
-    if f.sell_pad_ratio <= 1.6:
-        return Method.SELL_C_SIGMA
-    # Heavy skew / mega-rows: exact-nnz scan handles any distribution.
-    return Method.BALANCED
+    if feats is not None:
+        return _decide(lambda k: getattr(feats, k))
+
+    cache: dict = {"m": a.m, "n": a.n, "nnz": a.nnz}
+
+    def lazy(k):
+        if k in cache:
+            return cache[k]
+        if k in ("ndiags", "dia_fill"):
+            from .formats.dia import dia_profile
+            cache["ndiags"], cache["dia_fill"] = (
+                dia_profile(a) if a.nnz else (0, 0.0))
+        elif k in ("nblocks", "block_fill"):
+            from .formats.bcsr import bcsr_profile
+            cache["nblocks"], cache["block_fill"] = (
+                bcsr_profile(a) if a.nnz else (0, 0.0))
+        elif k == "sell8w_pad":
+            from .formats.sell8w import estimate_sell8w_tiles, WINDOW
+            cache[k] = (estimate_sell8w_tiles(a) * WINDOW / a.nnz
+                        if a.nnz else 1.0)
+        elif k == "coo2_pad":
+            from .formats.sell8w import pairs_lower_bound, WINDOW
+            pairs = pairs_lower_bound(a) if a.nnz else 0
+            cache[k] = pairs * WINDOW / a.nnz if pairs else float("inf")
+        elif k == "sell_pad_ratio":
+            cache[k] = (_sell_pad_ratio(a.row_lengths.astype(np.int64))
+                        if a.m else 1.0)
+        else:
+            raise KeyError(k)
+        return cache[k]
+
+    return _decide(lazy)
 
 
 def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
