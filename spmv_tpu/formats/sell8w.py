@@ -36,7 +36,8 @@ import numpy as np
 from ..types import CsrMatrix, INT_DTYPE
 
 __all__ = ["Sell8W", "Sell8WV2", "pack_sell8w", "plan_v2",
-           "estimate_sell8w_tiles", "pairs_lower_bound", "value_palette"]
+           "estimate_sell8w_tiles", "pairs_lower_bound", "value_palette",
+           "split_megarows", "split_stragglers"]
 
 LANES = 128
 SUB = 8
@@ -98,16 +99,22 @@ class Sell8WV2:
 def value_palette(vals: np.ndarray, max_entries: int = 64):
     """(palette, codes) with palette[0] == 0.0, or None if > max_entries
     distinct values.  Palette is padded to 128 lanes for the kernel's
-    take_along_axis decode."""
-    uniq = np.unique(vals.astype(np.float32))
-    uniq = uniq[uniq != 0.0]
+    take_along_axis decode.
+
+    Works on the nonzero subset only: tile streams are mostly padding
+    zeros at high pad ratios, and a full-array unique/searchsorted cost
+    ~13 s at 78M slots (uniform100k) vs ~1 s this way."""
+    v = np.ascontiguousarray(vals, dtype=np.float32).reshape(-1)
+    mask = v != 0.0
+    nz = v[mask]
+    uniq = np.unique(nz)
     if len(uniq) + 1 > max_entries:
         return None
     palette = np.zeros(LANES, dtype=np.float32)
     palette[1: 1 + len(uniq)] = uniq
-    codes = np.searchsorted(uniq, vals.astype(np.float32)) + 1
-    codes[vals == 0.0] = 0
-    return palette, codes.astype(np.int16)
+    codes = np.zeros(v.shape, dtype=np.int16)
+    codes[mask] = (np.searchsorted(uniq, nz) + 1).astype(np.int16)
+    return palette, codes
 
 
 def plan_v2(p: Sell8W, g: int = 16,
@@ -136,8 +143,10 @@ def plan_v2(p: Sell8W, g: int = 16,
     dest = starts[groups] + (np.arange(p.ntiles)
                              - np.concatenate([[0], np.cumsum(counts)[:-1]])[groups])
 
+    # meta is scattered exactly once per mode below (palette modes merge
+    # codes on the v1 layout first) — a second full-array pass costs ~2 s
+    # at 78M slots on this host
     meta = np.zeros((ntiles, SUB, LANES), dtype=np.int16)
-    meta[dest] = p.meta
     tinfo = np.zeros(ntiles, dtype=np.int32)
     tinfo[dest] = (p.window_ids.astype(np.int64) << 3
                    | (p.slice_ids.astype(np.int64) % SUB)).astype(np.int32)
@@ -162,13 +171,14 @@ def plan_v2(p: Sell8W, g: int = 16,
             palette_lo = (pal_f64 - palette.astype(np.float64)) \
                 .astype(np.float32)
             value_mode = "palette_df"
-            code_t = np.zeros((ntiles, SUB, LANES), dtype=np.int64)
-            code_t[dest] = codes.astype(np.int64).reshape(p.ntiles, SUB,
-                                                          LANES)
-            meta = ((meta.astype(np.int64) & 0x3FF) | (code_t << 10)) \
-                .astype(np.uint16).view(np.int16)
+            merged = ((p.meta.view(np.uint16) & np.uint16(0x3FF))
+                      | np.left_shift(
+                          codes.astype(np.uint16)
+                          .reshape(p.ntiles, SUB, LANES), np.uint16(10)))
+            meta[dest] = merged.view(np.int16)
         else:
             value_mode = "df"
+            meta[dest] = p.meta
             vals = np.zeros((ntiles, SUB, LANES), dtype=np.float32)
             vals[dest] = p.vals.astype(np.float32)
             vals_lo = np.zeros((ntiles, SUB, LANES), dtype=np.float32)
@@ -188,12 +198,17 @@ def plan_v2(p: Sell8W, g: int = 16,
     if pal is not None:
         palette, codes = pal
         value_mode = "palette"
-        code_t = np.zeros((ntiles, SUB, LANES), dtype=np.int64)
-        code_t[dest] = codes.reshape(p.ntiles, SUB, LANES)
-        meta = ((meta.astype(np.int64) & 0x3FF) | (code_t << 10)) \
-            .astype(np.uint16).view(np.int16).reshape(ntiles, SUB, LANES)
+        # merge codes into bits 10-15 on the v1 layout in uint16 (the int64
+        # full-array merge this replaces cost ~7 s / ~1.3 GB of temporaries
+        # at 78M slots), then place with the single scatter
+        merged = ((p.meta.view(np.uint16) & np.uint16(0x3FF))
+                  | np.left_shift(
+                      codes.view(np.uint16).reshape(p.ntiles, SUB, LANES),
+                      np.uint16(10)))
+        meta[dest] = merged.view(np.int16)
     else:
         import ml_dtypes
+        meta[dest] = p.meta
         v32 = p.vals.astype(np.float32)
         lossless = bool(np.array_equal(
             v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
@@ -237,6 +252,54 @@ def estimate_sell8w_tiles(a: CsrMatrix) -> int:
     # usw and usw_of_lane[first] enumerate the same groups in the same order
     tiles = np.maximum(-(-max_lane // SUB), -(-totals // WINDOW))
     return int(tiles.sum())
+
+
+def split_megarows(a: CsrMatrix, max_len: Optional[int] = None):
+    """(a_ext, sub_rows) or (a, None): virtual intra-row splitting.
+
+    Heavy-tailed matrices pack terribly in SELL-8W natural order: a
+    mega-row's nonzeros all share one lane, forcing ~len/(8·nwin)
+    nearly-empty tiles per window (measured powerlaw100k pad estimate 111).
+    Rows longer than ``max_len`` (default 8·nwin ≈ one full tile depth per
+    window) are cut into column-contiguous sub-rows appended as extra rows
+    ``m..m_ext``; each sub-row inherits the sorted-column locality of its
+    chunk, so the extras pack densely.  ``sub_rows[j]`` is the origin row
+    of extra row ``m + j`` — the executor folds them back with one tiny
+    scatter-add (nsub values), so unlike a length-sort reorder there is no
+    per-execution permutation gather of x or y.
+
+    This is the reference Balanced2's mega-row redistribution + intra-row
+    split (parallel_balanced2_spmv.c:115-198) re-expressed at the format
+    level.
+    """
+    if a.nnz == 0:
+        return a, None
+    nwin = max(-(-a.n // WINDOW), 1)
+    if max_len is None:
+        max_len = max(SUB * nwin, 64)
+    lens = a.row_lengths.astype(np.int64)
+    heavy = np.nonzero(lens > max_len)[0]
+    if len(heavy) == 0:
+        return a, None
+    row_of = np.repeat(np.arange(a.m, dtype=np.int64), lens)
+    is_heavy_nnz = lens[row_of] > max_len
+    nsub = -(-lens[heavy] // max_len)
+    sub_rows = np.repeat(heavy, nsub)
+    # sub-row lengths: max_len except each heavy row's tail
+    sub_lens = np.full(int(nsub.sum()), max_len, dtype=np.int64)
+    tails = np.cumsum(nsub) - 1
+    sub_lens[tails] = lens[heavy] - (nsub - 1) * max_len
+    new_lens = np.concatenate([np.where(lens > max_len, 0, lens), sub_lens])
+    rowptr = np.zeros(len(new_lens) + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=rowptr[1:])
+    # nnz order: light nonzeros keep row order; heavy nonzeros, extracted
+    # in row order, are already laid out sub-row-contiguously
+    colidx = np.concatenate([a.colidx[~is_heavy_nnz],
+                             a.colidx[is_heavy_nnz]])
+    vals = np.concatenate([a.vals[~is_heavy_nnz], a.vals[is_heavy_nnz]])
+    a_ext = CsrMatrix(a.m + len(sub_rows), a.n,
+                      rowptr.astype(a.rowptr.dtype), colidx, vals)
+    return a_ext, sub_rows.astype(INT_DTYPE)
 
 
 def split_stragglers(a: CsrMatrix, min_pair: int = 12):

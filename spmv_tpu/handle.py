@@ -248,11 +248,36 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
         from .ops.pallas_sell import V2_MAX_N
 
         def _sell8w_plan(mat, extra):
+            # Mega-row virtual splitting (Balanced2's redistribution at the
+            # format level, parallel_balanced2_spmv.c:115-198): heavy rows
+            # become column-contiguous sub-rows appended after row m; the
+            # executor folds them back with one nsub-element scatter-add.
+            # Only applied when it actually improves the estimated pack:
+            # on an already length-sorted matrix heavy rows share slices
+            # and splitting them apart *hurts* (measured powerlaw100k:
+            # length-sorted 19.5 vs length+split 37.6).
+            mat2, sub_rows = sell8w_fmt.split_megarows(mat)
+            if sub_rows is not None and (
+                    sell8w_fmt.estimate_sell8w_tiles(mat2)
+                    < sell8w_fmt.estimate_sell8w_tiles(mat)):
+                mat = mat2
+                extra = {**extra, "mega_sub_rows": dev(sub_rows)}
+            # Pad allowance: with x resident in VMEM (n <= V2_MAX_N) the
+            # grouped kernel pays only meta/value streams + ~20 ns/tile,
+            # so even pad ~20 beats the XLA gather floor >10x (measured
+            # 4.8 vs 0.25 GF/s on uniform100k); v2w (large n) adds a
+            # 4 KB/tile window DMA, so stay tighter.  Both capped so the
+            # padded tile stream stays under ~4 GB of HBM.
+            mem_cap = 6.7e8 / max(mat.nnz, 1)
+            if mat.n <= V2_MAX_N:
+                allow = max(3.0, min(32.0, mem_cap))
+            else:
+                allow = max(3.0, min(8.0, mem_cap))
             if np.dtype(mat.dtype) == np.float64:
                 # f64 = double-float v2 kernel: the greedy placement is
                 # value-independent, so packing twice (vals = hi, vals =
                 # lo) yields slot-aligned hi/lo tile pairs
-                hi = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=3.0)
+                hi = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=allow)
                 hi_back = np.asarray(
                     mat.vals.astype(np.float32), dtype=np.float64)
                 lo = sell8w_fmt.pack_sell8w(
@@ -263,7 +288,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                         "sell8w_v2": v2, "value_mode": v2.value_mode}
                 plan.update(extra)
                 return plan
-            packed = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=3.0)
+            packed = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=allow)
             plan = {"sell8w": packed, "pad_ratio": packed.pad_ratio}
             # grouped kernels (16 tiles/step, palette/bf16 value
             # compression — measured ~21 ns/tile marginal vs ~250 ns for
@@ -435,6 +460,13 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
         else:
             from .ops.pallas_sell import build_sell8w_fn
             inner = build_sell8w_fn(p["sell8w"])
+        if "mega_sub_rows" in p:
+            # fold virtual sub-row outputs back into their origin rows
+            # (tiny scatter-add: nsub elements, not an nnz-stream op)
+            sub_rows = p["mega_sub_rows"]
+            kern = inner
+            inner = lambda x: (lambda y: y[:m_rows].at[sub_rows]
+                               .add(y[m_rows:]))(kern(x))
         if "rest_rows" in p:
             # hybrid: straggler nonzeros ride the XLA gather path
             return lambda x: inner(x) + _exec_serial(
@@ -521,13 +553,35 @@ def create_handle(a: CsrMatrix,
             perm = reorder_mod.window_cluster_order(a)
         elif reorder == "cluster":
             perm = reorder_mod.cluster_order(a)
+        elif reorder == "length":
+            perm = reorder_mod.length_order(a)
         else:
             raise ValueError(f"unknown reorder kind {reorder!r}")
         a, _ = reorder_mod.reorder_symmetric(a, perm)
     resolved = requested
+    row_perm = None
     if requested == Method.AUTO:
         from .inspector import choose_method
         resolved = choose_method(a)
+        if (resolved == Method.BALANCED and perm is None
+                and 10_000 <= a.nnz and a.n <= 2_000_000):
+            # Last-resort locality: heavy-tailed matrices land here only
+            # because mega-rows explode the SELL-8W pad estimate (one lane
+            # per row).  The σ-sort taken global (length_order) clusters
+            # heavy rows into shared slices; if the re-estimated pad then
+            # passes the high-pad v2 gate, the Pallas kernel beats the XLA
+            # scan ~20x (measured powerlaw100k: pad 111 → 19.5).  Rows-only
+            # reorder: the slice composition only depends on row order, so
+            # x stays natural and the per-exec cost is a single m-element
+            # output gather (vs two for a symmetric reorder; the estimate
+            # is identical, 19.47 vs 19.49 on powerlaw100k).
+            from .formats import reorder as reorder_mod
+            from .formats.sell8w import estimate_sell8w_tiles, WINDOW
+            perm_try = reorder_mod.length_order(a)
+            a_try = reorder_mod.reorder_rows(a, perm_try)
+            est = estimate_sell8w_tiles(a_try) * WINDOW / a.nnz
+            if est <= min(32.0, 6.7e8 / a.nnz):
+                a, row_perm, resolved = a_try, perm_try, Method.SELL_C_SIGMA
     if (VectorizedWay(vectorized) == VectorizedWay.MXU
             and resolved in (Method.PARALLEL, Method.SELL_C_SIGMA,
                              Method.CSR5) and a.nnz > 0):
@@ -553,6 +607,13 @@ def create_handle(a: CsrMatrix,
         inner = bound
         # y[perm[i]] = y'[i]  ⇔  y = y'[inv]
         bound = lambda x: inner(x[perm_dev])[inv_dev]
+    elif row_perm is not None:
+        # rows-only reorder: x natural, fold y back with one m-gather
+        inv = np.empty_like(row_perm)
+        inv[row_perm] = np.arange(len(row_perm))
+        inv_dev = jax.device_put(jnp.asarray(inv.astype(INT_DTYPE)))
+        inner = bound
+        bound = lambda x: inner(x)[inv_dev]
     h = SpmvHandle(
         method=resolved, requested_method=requested,
         dtype=np.dtype(a.dtype) if a.dtype != jnp.bfloat16 else a.dtype,

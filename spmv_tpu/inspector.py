@@ -74,8 +74,15 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
     nblocks, block_fill = bcsr_profile(a) if a.nnz else (0, 0.0)
     if a.nnz:
         from .formats.sell8w import (estimate_sell8w_tiles, WINDOW,
-                                     pairs_lower_bound)
-        sell8w_pad = estimate_sell8w_tiles(a) * WINDOW / a.nnz
+                                     pairs_lower_bound, split_megarows)
+        # estimate what the plan will actually pack: the handle's SELL-8W
+        # route virtually splits mega-rows when that improves the pack
+        # (powerlaw100k natural 111 vs split 69), so take the min
+        est = estimate_sell8w_tiles(a)
+        a_split, subs = split_megarows(a)
+        if subs is not None:
+            est = min(est, estimate_sell8w_tiles(a_split))
+        sell8w_pad = est * WINDOW / a.nnz
         pairs = pairs_lower_bound(a)
         coo2_pad = pairs * WINDOW / a.nnz if pairs else float("inf")
     else:
@@ -123,6 +130,14 @@ def _decide(f) -> Method:
     # Moderate column scatter: the two-pass COO2 path (CSR5's TPU analog).
     if f("coo2_pad") <= 6.0:
         return Method.CSR5
+    # High-pad direct SELL-8W: with x resident in VMEM (n <= V2_MAX_N) the
+    # grouped v2 kernel pays only the meta/value streams + ~20 ns/tile, so
+    # even pad ~20 beats the XLA gather floor by >10x (measured 4.8 vs
+    # 0.25 GF/s, uniform100k).  Memory cap keeps the padded tile stream
+    # under ~4 GB (mirrors handle._sell8w_plan's allowance).
+    if (f("n") <= 2_000_000
+            and f("sell8w_pad") <= min(32.0, 6.7e8 / max(f("nnz"), 1))):
+        return Method.SELL_C_SIGMA
     if f("sell_pad_ratio") <= 1.6:
         return Method.SELL_C_SIGMA
     # Heavy skew / mega-rows: exact-nnz scan handles any distribution.
@@ -161,9 +176,16 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
             cache["nblocks"], cache["block_fill"] = (
                 bcsr_profile(a) if a.nnz else (0, 0.0))
         elif k == "sell8w_pad":
-            from .formats.sell8w import estimate_sell8w_tiles, WINDOW
-            cache[k] = (estimate_sell8w_tiles(a) * WINDOW / a.nnz
-                        if a.nnz else 1.0)
+            from .formats.sell8w import (estimate_sell8w_tiles, WINDOW,
+                                         split_megarows)
+            if a.nnz:
+                est = estimate_sell8w_tiles(a)
+                a_split, subs = split_megarows(a)
+                if subs is not None:
+                    est = min(est, estimate_sell8w_tiles(a_split))
+                cache[k] = est * WINDOW / a.nnz
+            else:
+                cache[k] = 1.0
         elif k == "coo2_pad":
             from .formats.sell8w import pairs_lower_bound, WINDOW
             pairs = pairs_lower_bound(a) if a.nnz else 0
