@@ -160,7 +160,9 @@ class SpmvHandle:
 
     def __repr__(self) -> str:
         extra = ""
-        if "sell8w" in self.plan:
+        if "sell8d" in self.plan:
+            extra = f", pallas=sell8d pad={self.plan['pad_ratio']:.2f}"
+        elif "sell8w" in self.plan:
             extra = f", pallas=sell8w pad={self.plan['pad_ratio']:.2f}"
         elif "coo2" in self.plan:
             extra = (f", pallas=coo2 pad1={self.plan['pad1']:.2f} "
@@ -247,6 +249,54 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
         from .formats import sell8w as sell8w_fmt
         from .ops.pallas_sell import V2_MAX_N
 
+        def _finish_rest(plan, rest_parts):
+            """Merge host-side COO remainders into the plan's straggler
+            stream (one XLA gather per exec, never on the main stream)."""
+            parts = [r for r in rest_parts if r is not None]
+            if not parts:
+                return plan
+            rows = np.concatenate([np.asarray(r[0]) for r in parts])
+            cols = np.concatenate([np.asarray(r[1]) for r in parts])
+            vls = np.concatenate([np.asarray(r[2]) for r in parts])
+            plan["rest_rows"] = dev(rows.astype(INT_DTYPE))
+            plan["rest_cols"] = dev(cols.astype(INT_DTYPE))
+            plan["rest_vals"] = dev(vls)
+            plan["rest_frac"] = len(rows) / max(a.nnz, 1)
+            return plan
+
+        def _sell8d_plan(mat, extra):
+            # Slot-mode deep-slice stream (formats/sell8d.py): one tile
+            # slot per row, tiles stack in depth per (1024-row slice,
+            # window) pair — the scattered tier where row-mode SELL-8W
+            # sits at its (slice, window)-pairs pad floor.  The depth-cap
+            # tail + s-table leftovers ride the straggler stream.
+            from .formats import sell8d as sell8d_fmt
+            mem_cap = 6.7e8 / max(mat.nnz, 1)
+            allow = max(3.0, min(32.0, mem_cap))
+            packed, rest8d = sell8d_fmt.pack_sell8d(
+                mat, max_pad_ratio=allow)
+            plan = {"sell8d": packed, "pad_ratio": packed.pad_ratio,
+                    "value_mode": packed.value_mode}
+            return _finish_rest(plan, [rest8d, extra.get("rest_host")])
+
+        def _plan_windowed(mat, extra):
+            # Row-mode (SELL-8W) vs slot-mode (SELL-8D) by estimated tile
+            # slots: slot mode wins on scattered structure (fewer pairs ×
+            # per-row depth), row mode on clustered windows (measured
+            # clustered200k pad 1.92 vs uniform100k 19.6 → 7.7).
+            if (mat.n <= V2_MAX_N
+                    and np.dtype(mat.dtype) == np.float32):
+                from .formats.sell8d import estimate_sell8d_auto
+                t8d, _cap, spilled = estimate_sell8d_auto(mat)
+                t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
+                if (t8d and t8d < 0.7 * t8w
+                        and spilled <= 0.02 * mat.nnz):
+                    try:
+                        return _sell8d_plan(mat, extra)
+                    except ValueError:
+                        pass
+            return _sell8w_plan(mat, extra)
+
         def _sell8w_plan(mat, extra):
             # Mega-row virtual splitting (Balanced2's redistribution at the
             # format level, parallel_balanced2_spmv.c:115-198): heavy rows
@@ -286,8 +336,10 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 v2 = sell8w_fmt.plan_v2(hi, lo_tiles=lo.vals)
                 plan = {"sell8w": hi, "pad_ratio": hi.pad_ratio,
                         "sell8w_v2": v2, "value_mode": v2.value_mode}
+                extra = dict(extra)
+                rest_host = extra.pop("rest_host", None)
                 plan.update(extra)
-                return plan
+                return _finish_rest(plan, [rest_host])
             packed = sell8w_fmt.pack_sell8w(mat, max_pad_ratio=allow)
             plan = {"sell8w": packed, "pad_ratio": packed.pad_ratio}
             # grouped kernels (16 tiles/step, palette/bf16 value
@@ -300,11 +352,13 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 plan["sell8w_v2"] = v2
             else:
                 plan["sell8w_v2w"] = v2
+            extra = dict(extra)
+            rest_host = extra.pop("rest_host", None)
             plan.update(extra)
-            return plan
+            return _finish_rest(plan, [rest_host])
 
         try:
-            return _sell8w_plan(a, {})
+            return _plan_windowed(a, {})
         except ValueError:
             # Hybrid retry: a sprinkle of long-range nonzeros (each costing
             # a full tile) may be all that fails the gate — route them
@@ -312,12 +366,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             a_main, rest, frac = sell8w_fmt.split_stragglers(a)
             if rest is not None and frac <= 0.05:
                 try:
-                    return _sell8w_plan(a_main, {
-                        "rest_rows": dev(rest[0]),
-                        "rest_cols": dev(rest[1]),
-                        "rest_vals": dev(rest[2]),
-                        "rest_frac": frac,
-                    })
+                    return _plan_windowed(a_main, {"rest_host": rest})
                 except ValueError:
                     pass
             # fall through to the XLA plan
@@ -450,8 +499,12 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     """
     p = plan
     m = method
-    if "sell8w_v2" in p or "sell8w_v2w" in p or "sell8w" in p:
-        if "sell8w_v2" in p:
+    if "sell8d" in p or "sell8w_v2" in p or "sell8w_v2w" in p \
+            or "sell8w" in p:
+        if "sell8d" in p:
+            from .ops.pallas_sell import build_sell8d_fn
+            inner = build_sell8d_fn(p["sell8d"])
+        elif "sell8w_v2" in p:
             from .ops.pallas_sell import build_sell8w_v2_fn
             inner = build_sell8w_v2_fn(p["sell8w_v2"])
         elif "sell8w_v2w" in p:

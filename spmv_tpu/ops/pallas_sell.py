@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats.sell8w import Sell8W, Sell8WV2, plan_v2, LANES, SUB, WINDOW
 
 __all__ = ["build_sell8w_fn", "build_sell8w_v2_fn", "build_sell8w_v2w_fn",
-           "sell8w_spmv", "pack_gpk", "V2_MAX_N"]
+           "build_sell8d_fn", "sell8w_spmv", "pack_gpk", "V2_MAX_N"]
 
 #: v2 keeps x resident in VMEM; past this n it falls back to the v1 kernel
 #: (x2 bytes ≈ n·4; leave VMEM room for tile double-buffering).
@@ -125,13 +125,18 @@ def _run(window_ids, gpk, x, meta, vals, *, ntiles, nslices, n,
 
 
 def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
-               o_ref, *, g: int, value_mode: str):
+               o_ref, *, g: int, value_mode: str, slot_mode: bool = False):
     """v2 body: G tiles per grid step, x resident in VMEM.
 
     Measured motivation (baselines/probe_step.out, probe3.out): the v1
     kernel's one-tile steps cost ~250 ns each regardless of work, and the
     values stream triples the tile traffic; v2 amortizes the step cost G×
     and compresses values (palette codes in meta bits 10-15, or bf16).
+
+    ``slot_mode`` (the SELL-8D deep-slice layout, formats/sell8d.py):
+    every slot IS a row of the 1024-row output block, so the tile's
+    per-slot products accumulate directly — no sublane reduction, no row
+    mask.  The gather/decode structure is identical.
     """
     p = pl.program_id(0)
     gi = ginfo_ref[p]
@@ -152,22 +157,29 @@ def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
             v = jnp.take_along_axis(pal_ref[:], (m >> 10) & 63, axis=1)
         else:
             v = vals_ref[k].astype(jnp.float32)
-        contrib = jnp.sum(v * xg, axis=0)                # (128,) lane sums
-        row = ti & 7
-        mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) == row
-        acc += jnp.where(mask, contrib[None, :], 0.0)
+        if slot_mode:
+            acc += v * xg
+        else:
+            contrib = jnp.sum(v * xg, axis=0)            # (128,) lane sums
+            row = ti & 7
+            mask = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES),
+                                            0) == row
+            acc += jnp.where(mask, contrib[None, :], 0.0)
     o_ref[0] += acc
 
 
 @functools.partial(jax.jit, static_argnames=("g", "value_mode", "nsteps",
-                                             "nslices", "n", "interpret"))
+                                             "nslices", "n", "interpret",
+                                             "slot_mode"))
 def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
-            nslices, n, interpret=False):
+            nslices, n, interpret=False, slot_mode=False):
     n_pad = -(-n // WINDOW) * WINDOW
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
     x2 = x.astype(jnp.float32).reshape(-1, LANES)
-    ngroups = max(-(-nslices // SUB), 1)
+    # slot mode (SELL-8D): one output block per 1024-row slice; row mode:
+    # one block per group of 8 128-row slices — same block count per row
+    ngroups = nslices if slot_mode else max(-(-nslices // SUB), 1)
     nrows_x2 = n_pad // LANES
 
     tile_spec = pl.BlockSpec((g, SUB, LANES), lambda t, ti, gi: (t, 0, 0))
@@ -180,7 +192,8 @@ def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
             vals if value_mode != "palette" else jnp.zeros((SUB, LANES),
                                                            jnp.float32),
             pal)
-    kern = functools.partial(_kernel_v2, g=g, value_mode=value_mode)
+    kern = functools.partial(_kernel_v2, g=g, value_mode=value_mode,
+                             slot_mode=slot_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -525,6 +538,36 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False):
         out = _run_v2(tinfo, ginfo, x, meta, vals, pal,
                       g=G, value_mode=value_mode, nsteps=nsteps,
                       nslices=nslices, n=n, interpret=interpret)
+        return out.reshape(-1)[:m]
+
+    return fn
+
+
+def build_sell8d_fn(packed, interpret: bool = False):
+    """x -> y closure over a SELL-8D deep-slice stream (slot-mode v2).
+
+    Requires n ≤ V2_MAX_N (x resident in VMEM).  Output rows come back in
+    natural order (slot position encodes the row), so no inverse
+    permutation is needed.
+    """
+    if packed.n > V2_MAX_N:
+        raise ValueError(f"sell8d kernel needs n <= {V2_MAX_N}, "
+                         f"got {packed.n}")
+    tinfo = jnp.asarray(packed.tinfo)
+    ginfo = jnp.asarray(packed.ginfo)
+    meta = jnp.asarray(packed.meta)
+    vals = jnp.asarray(packed.vals) if packed.vals is not None else None
+    pal = jnp.asarray(np.tile(
+        (packed.palette if packed.palette is not None
+         else np.zeros(LANES, np.float32))[None, :], (SUB, 1)))
+    m, n, nsteps, nslices = packed.m, packed.n, packed.nsteps, packed.nslices
+    value_mode, G = packed.value_mode, packed.g
+
+    def fn(x):
+        out = _run_v2(tinfo, ginfo, x, meta, vals, pal, g=G,
+                      value_mode=value_mode, nsteps=nsteps,
+                      nslices=nslices, n=n, interpret=interpret,
+                      slot_mode=True)
         return out.reshape(-1)[:m]
 
     return fn

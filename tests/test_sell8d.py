@@ -1,0 +1,164 @@
+"""SELL-8D deep-slice (slot-mode) format + kernel tests.
+
+The layout inverts SELL-8W's row↔lane assignment: slices of 1024 rows,
+slot position = row, tiles stack in depth per (slice, window) pair — the
+scattered-matrix tier (uniform/power-law light rows), where SELL-8W sits
+at its (slice, window)-pairs pad floor (PERFNOTES.md tier-3 analysis).
+The intended regime is LOW window occupancy (a few nnz per row per
+1024-column window); dense windows belong to SELL-8W and are covered here
+only by the gate tests.
+"""
+
+import numpy as np
+import pytest
+
+from spmv_tpu.formats.sell8d import (estimate_sell8d_auto,
+                                     estimate_sell8d_tiles, pack_sell8d,
+                                     Sell8D)
+from spmv_tpu.formats.sell8w import WINDOW
+from spmv_tpu.io import generate
+from spmv_tpu.oracle import spmv_golden
+from spmv_tpu.ops.pallas_sell import build_sell8d_fn
+from spmv_tpu.types import CsrMatrix
+
+
+def _golden_rest(rest, x, m):
+    y = np.zeros(m, np.float64)
+    if rest is not None:
+        rows, cols, vals = rest
+        np.add.at(y, rows, vals.astype(np.float64) * x[cols])
+    return y
+
+
+def _check(a, atol=2e-5, **kw):
+    packed, rest = pack_sell8d(a, **kw)
+    fn = build_sell8d_fn(packed, interpret=True)
+    x = np.random.default_rng(5).standard_normal(a.n).astype(np.float32)
+    y = np.asarray(fn(x)) + _golden_rest(rest, x, a.m)
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / max(np.abs(g).max(), 1e-30) < atol
+    return packed, rest
+
+
+def test_uniform_scattered():
+    # ~0.9 nnz per row per window — the design-target occupancy
+    a = generate.random_uniform(9000, 9000, 8, dtype=np.float32, seed=3)
+    packed, _ = _check(a, max_pad_ratio=40.0, max_spill=0.05)
+    assert packed.nslices == 9
+    # deep-slice pad must beat the 8W pairs floor on uniform scatter
+    from spmv_tpu.formats.sell8w import estimate_sell8w_tiles
+    assert estimate_sell8d_tiles(a) < estimate_sell8w_tiles(a)
+
+
+def test_powerlaw_light_rows():
+    # power-law tail rows; a pinned depth cap spills the heavy heads (the
+    # handle's hybrid routes those to SELL-8W / the straggler path)
+    a = generate.power_law(8000, 8000, 10 * 8000, dtype=np.float32, seed=2)
+    _check(a, max_pad_ratio=80.0, depth_cap=4, max_spill=0.8)
+
+
+def test_rect():
+    a = generate.random_uniform(2100, 900, 4, dtype=np.float32, seed=8)
+    _check(a, max_pad_ratio=100.0, max_spill=0.05)
+
+
+def test_values_bf16_and_f32():
+    rng = np.random.default_rng(0)
+    m = n = 4000
+    a = generate.random_uniform(m, n, 5, dtype=np.float32, seed=4)
+    # >64 distinct bf16-exact values → bf16 mode
+    vals = (rng.integers(1, 5000, a.nnz) * 2.0 ** -3).astype(np.float32)
+    a_bf = CsrMatrix(m, n, a.rowptr, a.colidx,
+                     np.asarray(vals, dtype=np.float32))
+    p, _ = _check(a_bf, max_pad_ratio=100.0, max_spill=0.05)
+    assert p.value_mode in ("bf16", "f32")
+
+
+def test_estimate_matches_pack():
+    a = generate.random_uniform(9000, 9000, 7, dtype=np.float32, seed=1)
+    tiles, cap, spilled = estimate_sell8d_auto(a)
+    packed, rest = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05)
+    # wrap-around repair keeps the realized tile count AT the budget:
+    # pack only adds the per-slice G-padding
+    assert packed.ntiles >= tiles
+    assert packed.ntiles <= tiles + packed.nslices * packed.g
+    # conflict spill adds to the cap-tail estimate, never removes
+    nrest = 0 if rest is None else len(rest[0])
+    assert nrest >= spilled
+
+
+def test_depth_cap_pins_tiles():
+    a = generate.random_uniform(5000, 5000, 8, dtype=np.float32, seed=6)
+    p1, r1 = pack_sell8d(a, max_pad_ratio=100.0, depth_cap=1,
+                         max_spill=1.0)
+    pa, ra = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05)
+    assert p1.ntiles <= pa.ntiles
+    # cap=1 keeps at most one nnz per (row, window) group
+    x = np.ones(a.n, np.float32)
+    fn = build_sell8d_fn(p1, interpret=True)
+    y = np.asarray(fn(x)) + _golden_rest(r1, x, a.m)
+    np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-5)
+
+
+def test_spill_gate_raises_on_dense_windows():
+    # dense-window structure (the SELL-8W regime): occupancy makes the
+    # shared s-table unresolvable within budget → the gate must raise,
+    # never corrupt
+    a = generate.random_uniform(3000, 3000, 12, dtype=np.float32, seed=3)
+    with pytest.raises(ValueError):
+        pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.001)
+
+
+def test_hostile_duplicate_cells():
+    # many rows hitting the same (sublane, residue) cells with different
+    # sub-rows forces conflicts; with an unbounded spill allowance the
+    # result must still be exact
+    rng = np.random.default_rng(7)
+    m = n = 2048
+    rows = np.repeat(np.arange(m), 4)
+    cols = (rng.integers(0, 8, len(rows)) * 128
+            + rng.integers(0, 4, len(rows))).astype(np.int64)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    rowptr = np.zeros(m + 1, np.int64)
+    np.add.at(rowptr, rows + 1, 1)
+    np.cumsum(rowptr, out=rowptr)
+    vals = rng.standard_normal(len(rows)).astype(np.float32)
+    a = CsrMatrix(m, n, rowptr, cols, vals)
+    _check(a, max_pad_ratio=600.0, max_spill=1.0)
+
+
+def test_empty_slice_zeroed():
+    # rows 1024..2047 entirely empty: their output block must still be
+    # zero-initialized (per-slice min-G padding)
+    m = n = 3072
+    rows = np.concatenate([np.arange(1024), np.arange(2048, 3072)])
+    rowptr = np.zeros(m + 1, np.int64)
+    np.add.at(rowptr, rows + 1, 1)
+    np.cumsum(rowptr, out=rowptr)
+    cols = np.arange(2048) % n
+    vals = np.ones(2048, np.float32)
+    a = CsrMatrix(m, n, rowptr, cols.astype(np.int64), vals)
+    packed, rest = pack_sell8d(a, max_pad_ratio=60.0)
+    fn = build_sell8d_fn(packed, interpret=True)
+    x = np.ones(n, np.float32)
+    y = np.asarray(fn(x)) + _golden_rest(rest, x, m)
+    assert np.abs(y[1024:2048]).max() == 0.0
+    np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-5)
+
+
+def test_unsorted_columns():
+    # colidx unsorted within rows: the rank/group machinery must fall back
+    # to the sorted path and stay exact
+    rng = np.random.default_rng(11)
+    a = generate.random_uniform(3000, 3000, 5, dtype=np.float32, seed=9)
+    rowptr = np.asarray(a.rowptr)
+    colidx = np.asarray(a.colidx).copy()
+    vals = np.asarray(a.vals).copy()
+    for i in range(0, a.m, 7):       # shuffle a sample of rows
+        s, e = rowptr[i], rowptr[i + 1]
+        p = rng.permutation(e - s)
+        colidx[s:e] = colidx[s:e][p]
+        vals[s:e] = vals[s:e][p]
+    b = CsrMatrix(a.m, a.n, rowptr, colidx, vals)
+    _check(b, max_pad_ratio=100.0, max_spill=0.05)
