@@ -25,6 +25,14 @@ bump-and-rerank repair loop (measured uniform100k λ=0.41: fully resolved,
 zero spill); the rare unresolvable leftovers spill to the XLA straggler
 path, as does the deep tail above the adaptive depth cap.
 
+**Window bundles** (``nw`` ∈ {1, 2, 4, 8}): a tile may cover ``nw``
+consecutive 1024-column windows — each slot carries a window-select field
+(meta bits 10..10+log2(nw)−1) and the kernel gathers from each member
+window, selecting per slot.  This divides the (slice, window)-pairs floor
+by up to nw for scattered structure at the cost of extra in-tile gathers
+(cheap: the v2 kernel is stream/step-bound, not gather-bound) and a
+smaller value palette (64 >> log2(nw) entries).
+
 The reference analog is CSR5's tile-transposed layout (avx2/format_avx2.h
 aosoa_transpose) combined with Balanced2's row redistribution — re-derived
 for the (8,128) tile and the Mosaic gather rules.
@@ -110,20 +118,48 @@ class _SortedMembership:
         return found, vals
 
 
-def _auto_cap(rank: np.ndarray, max_spill: float) -> int:
-    """Smallest depth cap whose rank-tail spill fits the auto budget."""
-    cnt = np.bincount(rank)
-    tail = cnt[::-1].cumsum()[::-1]
-    budget = max(int(min(AUTO_CAP_SPILL, max_spill / 2) * len(rank)), 1)
-    caps = np.nonzero(tail <= budget)[0]
-    cap = int(caps[0]) if len(caps) else len(cnt)
-    return max(cap, 1)
+def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
+              nw: int) -> int:
+    """Depth cap minimizing the measured cost model over candidate caps:
+
+        cost(d) = tiles(d)·TILE_NS  +  tail(d)·SPILL_NS
+
+    with tiles(d) = Σ_pairs min(dmax, d) and tail(d) = Σ_groups
+    max(size−d, 0) (the nnz above the cap, spilled to the XLA straggler
+    stream).  Both curves come from histograms — O(smax), no per-entry
+    work."""
+    smax = int(sizes.max())
+    cand_max = min(smax, 1024)
+    hist_s = np.bincount(np.minimum(sizes, cand_max + 1))
+    hist_d = np.bincount(np.minimum(dmax_per_pair, cand_max + 1))
+    s_idx = np.arange(len(hist_s), dtype=np.int64)
+    d_idx = np.arange(len(hist_d), dtype=np.int64)
+    # suffix sums over the histograms; the clipped top bin gets its true
+    # mass back so mega-group tails are not under-counted
+    cnt_s_ge = np.cumsum(hist_s[::-1])[::-1]          # #groups size ≥ d
+    sum_s_ge = np.cumsum((hist_s * s_idx)[::-1])[::-1]
+    sum_s_ge += int(np.maximum(sizes - (cand_max + 1), 0).sum())
+    cnt_d_ge = np.cumsum(hist_d[::-1])[::-1]
+    sum_d_ge = np.cumsum((hist_d * d_idx)[::-1])[::-1]
+    sum_d_ge += int(np.maximum(dmax_per_pair - (cand_max + 1), 0).sum())
+    d = np.arange(1, cand_max + 1, dtype=np.int64)
+
+    def suffix(arr, i):
+        return np.where(i < len(arr), arr[np.minimum(i, len(arr) - 1)], 0)
+
+    tail = suffix(sum_s_ge, d + 1) - d * suffix(cnt_s_ge, d + 1)
+    # Σ_p min(dmax, d) = Σ_{v≤d} v·hist + d·#(dmax > d)
+    total_d = sum_d_ge[0]
+    tiles = (total_d - suffix(sum_d_ge, d + 1)) + d * suffix(cnt_d_ge,
+                                                            d + 1)
+    cost = tiles * _TILE_NS[nw] + tail * _SPILL_NS
+    return int(d[np.argmin(cost)])
 
 
 def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
                 depth_cap: Union[int, str, None] = "auto",
-                max_repair: int = 8, max_spill: float = 0.02
-                ) -> Tuple["Sell8D", Optional[tuple]]:
+                max_repair: int = 8, max_spill: float = 0.02,
+                nw: int = 1) -> Tuple["Sell8D", Optional[tuple]]:
     """Pack into the slot-mode deep-slice stream.
 
     Returns ``(packed, rest)`` where ``rest`` is ``None`` or a
@@ -136,25 +172,47 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     under :data:`AUTO_CAP_SPILL` (the deep tail is the pad driver: one row
     with k nonzeros in a window forces k full tiles on its pair); an int
     pins it; None disables capping.
+
+    ``nw``: windows per bundle tile (1, 2, 4 or 8 — see module docstring).
     """
     if a.nnz == 0:
         raise ValueError("empty matrix has no SELL-8D packing")
+    if nw not in (1, 2, 4, 8):
+        raise ValueError(f"nw must be 1, 2, 4 or 8, got {nw}")
+    lb = nw.bit_length() - 1
     m, n = a.m, a.n
-    nwin = max(-(-n // WINDOW), 1)
+    nwin = max(-(-n // (WINDOW * nw)), 1)      # bundles of nw windows
     nslices = max(-(-m // SLICE_ROWS), 1)
     lens = a.row_lengths.astype(np.int64)
     rows = np.repeat(np.arange(m, dtype=np.int64), lens)
     cols = a.colidx.astype(np.int64)
-    rw = rows * nwin + (cols >> 10)
+    rw = rows * nwin + (cols >> (10 + lb))
 
     rank = _rank_in_group(rw)
+    # full-set (row, bundle) group sizes and their pair ids — the cap's
+    # cost scan needs the per-pair depth maxima
+    if np.all(rw[1:] >= rw[:-1]):
+        fstarts = np.nonzero(_first_of_group(rw))[0]
+        fsizes = np.diff(np.concatenate([fstarts, [len(rw)]]))
+        rw_u = rw[fstarts]
+    else:
+        rws = np.sort(rw)
+        fstarts = np.nonzero(_first_of_group(rws))[0]
+        fsizes = np.diff(np.concatenate([fstarts, [len(rw)]]))
+        rw_u = rws[fstarts]
+    pairg = ((rw_u // nwin) >> 10) * nwin + rw_u % nwin
+    po = np.argsort(pairg, kind="stable")
+    pgs = pairg[po]
+    pstarts_f = np.nonzero(_first_of_group(pgs))[0]
+    pairs_all = pgs[pstarts_f]
+    dmax_all = np.maximum.reduceat(fsizes[po], pstarts_f)
+
     if depth_cap == "auto":
-        cap = _auto_cap(rank, max_spill)
+        cap = _cost_cap(fsizes, dmax_all, nw)
     elif depth_cap is None:
         cap = int(rank.max()) + 1
     else:
         cap = int(depth_cap)
-    md = cap + 2                       # depth stride for composite keys
 
     keep0 = rank < cap
     idx = np.nonzero(keep0)[0]
@@ -169,35 +227,23 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     cin = kcol & 1023
     ks = cin >> 7
     kr = cin & 127
+    kw = (kcol >> 10) & (nw - 1)        # window-select within the bundle
     r_in = krow & (SLICE_ROWS - 1)
     ki = r_in >> 7
     l_lane = r_in & 127
-    kpair = (krow >> 10) * nwin + (kcol >> 10)
+    kpair = (krow >> 10) * nwin + (kcol >> (10 + lb))
 
-    # Per-pair depth budget dmax = max capped (row, window) group size.
-    # The tile count is FIXED at Σ dmax before conflict repair: initial
-    # depths spread each row's entries across the budget ((rank + row) mod
-    # dmax — balancing cell occupancy cuts the round-1 s-conflict rate
-    # ~2×, measured 11% → 5.6% on uniform100k), and repair bumps WRAP
-    # within the budget, so conflicts can never grow the pad — whatever a
-    # full cycle cannot place spills instead.
-    if np.all(krw[1:] >= krw[:-1]):
-        gstarts = np.nonzero(_first_of_group(krw))[0]
-        gsize = np.diff(np.concatenate([gstarts, [nk]]))
-        gpair = kpair[gstarts]
-    else:
-        og = np.argsort(krw, kind="stable")
-        gstarts = np.nonzero(_first_of_group(krw[og]))[0]
-        gsize = np.diff(np.concatenate([gstarts, [nk]]))
-        gpair = kpair[og][gstarts]
-    # dmax per pair: reduceat over the pair-sorted group list
-    po = np.argsort(gpair, kind="stable")
-    gp_s = gpair[po]
-    pstarts = np.nonzero(_first_of_group(gp_s))[0]
-    pairs_unique = gp_s[pstarts]
-    tiles_per_pair = np.maximum.reduceat(gsize[po], pstarts)
-    prank_e = np.searchsorted(pairs_unique, kpair)
-    kdmax = tiles_per_pair[prank_e]
+    # Per-pair depth budget = min(dmax, cap).  Initial depths spread each
+    # row's entries across the budget ((rank + row) mod budget — balancing
+    # cell occupancy cuts the round-1 s-conflict rate ~2×, measured 11% →
+    # 5.6% on uniform100k), and repair bumps WRAP within the budget;
+    # whatever a full cycle cannot place gets fresh OVERFLOW depth levels
+    # afterwards (a spilled nonzero costs ~15 ns on the XLA gather floor
+    # vs ~30 ns for a whole overflow tile that absorbs many — measured
+    # uniform100k: 51k conflict-spills cost 0.79 ms, 4× the kernel).
+    kdmax = np.minimum(dmax_all[np.searchsorted(pairs_all, kpair)], cap)
+    # stride covers the budget plus the overflow levels (≤ cap + bumps)
+    md = 2 * cap + max_repair + 8
     depth = (krank + krow) % kdmax
 
     def cell_key(p, d, i, r):
@@ -223,7 +269,8 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     cells.add(cs[mask_sorted], ks[o][mask_sorted])
 
     sub = np.nonzero(conflict)[0]
-    rounds = max(max_repair, cap + 2)  # let a bump scan the full budget
+    # let a bump scan the full wrap cycle (bounded: overflow absorbs rest)
+    rounds = max(max_repair, min(cap, 16) + 2)
     for _ in range(rounds):
         if not len(sub):
             break
@@ -249,8 +296,50 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
         oksort = (~conf)[o2]
         cells.add(cqs[oksort], ss[o2][oksort])
         sub = sub[conf]
+
+    # overflow phase: whatever the wrap cycle could not place opens FRESH
+    # depth levels above the pair budget (an overflow tile absorbs up to
+    # 1024 leftovers at tile cost; the XLA straggler path costs ~15 ns per
+    # nonzero).  Fresh levels cannot collide with settled entries (every
+    # prior cell/slot key has depth < budget), only among themselves —
+    # ranks are distinct per (row, bundle) group, so only the s-table can
+    # conflict, resolved by plain upward bumps.
     still = np.zeros(nk, dtype=bool)
-    still[sub] = True
+    if len(sub):
+        ov_rank = _rank_in_group(np.sort(krw[sub]))
+        osort = np.argsort(krw[sub], kind="stable")
+        od = np.empty(len(sub), dtype=np.int64)
+        od[osort] = ov_rank
+        depth[sub] = kdmax[sub] + od
+        cells2 = _SortedMembership()
+        slots2 = _SortedMembership()
+        osub = sub
+        for _ in range(3):
+            if not len(osub):
+                break
+            k1 = krw[osub] * md + depth[osub]
+            dup, _ = slots2.lookup(k1)
+            o1 = np.argsort(k1, kind="stable")
+            d_in = np.zeros(len(osub), dtype=bool)
+            d_in[o1] = ~_first_of_group(k1[o1])
+            dup |= d_in
+            cq = cell_key(kpair[osub], depth[osub], ki[osub], kr[osub])
+            found, wsv = cells2.lookup(cq)
+            o2 = np.argsort(cq, kind="stable")
+            cqs = cq[o2]
+            p2 = np.arange(len(osub), dtype=np.int64)
+            win2 = np.maximum.accumulate(
+                np.where(_first_of_group(cqs), p2, 0))
+            ss = ks[osub]
+            sc_in = np.zeros(len(osub), dtype=bool)
+            sc_in[o2] = ss[o2] != ss[o2[win2]]
+            conf = dup | np.where(found, wsv != ss, sc_in)
+            slots2.add(np.sort(k1[~conf]))
+            oksort = (~conf)[o2]
+            cells2.add(cqs[oksort], ss[o2][oksort])
+            osub = osub[conf]
+            depth[osub] += 1
+        still[osub] = True
 
     spill = ~keep0
     spill[idx[still]] = True
@@ -261,11 +350,19 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     fin = ~still
     depth_k, pair_k = depth[fin], kpair[fin]
     i_k, l_k = ki[fin], l_lane[fin]
-    s_k, r_k = ks[fin], kr[fin]
+    s_k, r_k, w_k = ks[fin], kr[fin], kw[fin]
     vals_k = np.asarray(a.vals)[idx[fin]]
     nnz_kept = len(vals_k)
     if nnz_kept == 0:
         raise ValueError("sell8d pack kept no nonzeros")
+
+    # realized per-pair tile counts (max kept depth + 1) — pairs that lost
+    # every entry drop out; overflow levels extend their pair's run
+    po2 = np.argsort(pair_k, kind="stable")
+    ps2 = pair_k[po2]
+    pstarts2 = np.nonzero(_first_of_group(ps2))[0]
+    pairs_unique = ps2[pstarts2]
+    tiles_per_pair = np.maximum.reduceat(depth_k[po2], pstarts2) + 1
 
     # per-slice padding to a multiple of g (min g — every output block
     # must be touched at least once to get zero-initialized)
@@ -288,29 +385,34 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     slice_run0 = np.maximum.accumulate(np.where(slice_first, run, 0))
     pair_base = slice_base[slice_of_pair] + (run - slice_run0)
 
-    tile = pair_base[prank_e[fin]] + depth_k
+    tile = pair_base[np.searchsorted(pairs_unique, pair_k)] + depth_k
 
-    # meta: slot fields (residue bits 0-6, value code bits 10-15) live at
-    # (tile, i, l) — unique per entry, plain fancy assignment; the shared
-    # s-table field (bits 7-9) lives at (tile, i, r) — entries sharing a
-    # cell agree on s by construction, so duplicate writes are idempotent.
-    # Two planes OR-merged once (bitwise_or.at measured ~20 s at 4M nnz).
+    # meta: slot fields (residue bits 0-6, window-select bits 10..10+lb−1,
+    # value code bits 10+lb..15) live at (tile, i, l) — unique per entry,
+    # plain fancy assignment; the shared s-table field (bits 7-9) lives at
+    # (tile, i, r) — entries sharing a cell agree on s by construction, so
+    # duplicate writes are idempotent.  Two planes OR-merged once
+    # (bitwise_or.at measured ~20 s at 4M nnz).
     slot_flat = (tile * SUB + i_k) * LANES + l_k
     cell_flat = (tile * SUB + i_k) * LANES + r_k
     meta = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
-    meta[slot_flat] = r_k.astype(np.uint16)
+    slot_bits = r_k.astype(np.uint16)
+    if lb:
+        slot_bits |= w_k.astype(np.uint16) << np.uint16(10)
+    meta[slot_flat] = slot_bits
     s_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
     s_plane[cell_flat] = (s_k.astype(np.uint16) << np.uint16(7))
     np.bitwise_or(meta, s_plane, out=meta)
     del s_plane
 
-    pal = value_palette(vals_k)
+    pal = value_palette(vals_k, max_entries=64 >> lb)
     vals_arr = None
     if pal is not None:
         palette, codes = pal
         value_mode = "palette"
         code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
-        code_plane[slot_flat] = codes.view(np.uint16) << np.uint16(10)
+        code_plane[slot_flat] = (codes.view(np.uint16)
+                                 << np.uint16(10 + lb))
         np.bitwise_or(meta, code_plane, out=meta)
         del code_plane
     else:
@@ -349,7 +451,7 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
         m=m, n=n, nnz_stored=nnz_kept, nslices=nslices, g=g,
         ntiles=ntiles, nsteps=nsteps, value_mode=value_mode,
         tinfo=tinfo, ginfo=ginfo, meta=meta.view(np.int16),
-        vals=vals_arr, palette=palette)
+        vals=vals_arr, palette=palette, nw=nw)
     rest = None
     if spill.any():
         rest = (rows[spill], cols[spill], np.asarray(a.vals)[spill])
@@ -368,56 +470,161 @@ class Sell8D:
     ntiles: int                # padded to G per slice
     nsteps: int
     value_mode: str            # "palette" | "bf16" | "f32"
-    tinfo: np.ndarray          # (ntiles,) int32: window << 3
+    tinfo: np.ndarray          # (ntiles,) int32: bundle << 3
     ginfo: np.ndarray          # (nsteps,) int32: slice << 1 | first_flag
-    meta: np.ndarray           # (ntiles, 8, 128) int16 (s<<7|r | code<<10)
+    meta: np.ndarray           # (ntiles, 8, 128) int16:
+    #   s<<7 | r  (cell/slot planes) | wsel<<10 | code<<(10+log2 nw)
     vals: Optional[np.ndarray]   # (ntiles, 8, 128), None for palette
     palette: Optional[np.ndarray]  # (128,) f32
+    nw: int = 1                # windows per bundle tile
 
     @property
     def pad_ratio(self) -> float:
         return self.ntiles * WINDOW / max(self.nnz_stored, 1)
 
 
-def estimate_sell8d_tiles(a: CsrMatrix,
-                          depth_cap: Optional[int] = None) -> int:
-    """Lower-bound tile count: Σ over (1024-row slice, window) pairs of the
+def _bundle_group_stats(a: CsrMatrix, lb: int, rows=None):
+    """(group sizes, pair id per group) at bundle granularity 2**lb
+    windows.  One pass over nnz; groups are (row, bundle)."""
+    nwin = max(-(-a.n // (WINDOW << lb)), 1)
+    if rows is None:
+        lens = a.row_lengths.astype(np.int64)
+        rows = np.repeat(np.arange(a.m, dtype=np.int64), lens)
+    rw = rows * nwin + (a.colidx.astype(np.int64) >> (10 + lb))
+    if not np.all(rw[1:] >= rw[:-1]):
+        rw = np.sort(rw)
+    starts = np.nonzero(_first_of_group(rw))[0]
+    sizes = np.diff(np.concatenate([starts, [len(rw)]]))
+    rw_u = rw[starts]
+    pw = ((rw_u // nwin) >> 10) * nwin + rw_u % nwin
+    return sizes, pw
+
+
+def split_by_window_density(a: CsrMatrix, thresh: int = 4):
+    """Partition nnz by (row, window) group size: groups with ≥ ``thresh``
+    nonzeros form the DENSE part (the SELL-8W row-mode regime — a row-
+    window segment that fills tile depth), the rest the SPARSE part (the
+    SELL-8D bundle regime).  Returns ``(dense, sparse, dense_frac)`` with
+    either matrix ``None`` when empty.  Powerlaw matrices split ~78/22
+    (measured powerlaw100k at thresh=4), turning a pad-19.5 single-format
+    pack into ~6.3 (8W, length-sorted) + ~9 (8D nw=8) parts.
+
+    The reference analog is Balanced2's mega-row redistribution
+    (parallel_balanced2_spmv.c:55-209) applied at window granularity.
+    """
+    if a.nnz == 0:
+        return None, None, 0.0
+    nwin = max(-(-a.n // WINDOW), 1)
+    lens = a.row_lengths.astype(np.int64)
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), lens)
+    rw = rows * nwin + (a.colidx.astype(np.int64) >> 10)
+    if np.all(rw[1:] >= rw[:-1]):
+        starts = np.nonzero(_first_of_group(rw))[0]
+        sizes = np.diff(np.concatenate([starts, [len(rw)]]))
+        gsz = np.repeat(sizes, sizes)
+    else:
+        o = np.argsort(rw, kind="stable")
+        starts = np.nonzero(_first_of_group(rw[o]))[0]
+        sizes = np.diff(np.concatenate([starts, [len(rw)]]))
+        gsz = np.empty(len(rw), dtype=np.int64)
+        gsz[o] = np.repeat(sizes, sizes)
+    dense = gsz >= thresh
+    frac = float(dense.mean())
+
+    def sub(mask):
+        if not mask.any():
+            return None
+        r = rows[mask]
+        rp = np.zeros(a.m + 1, np.int64)
+        np.add.at(rp, r + 1, 1)
+        np.cumsum(rp, out=rp)
+        return CsrMatrix(a.m, a.n, rp, np.asarray(a.colidx)[mask],
+                         np.asarray(a.vals)[mask])
+
+    return sub(dense), sub(~dense), frac
+
+
+def estimate_sell8d_tiles(a: CsrMatrix, depth_cap: Optional[int] = None,
+                          nw: int = 1) -> int:
+    """Lower-bound tile count: Σ over (1024-row slice, bundle) pairs of the
     max per-row nonzero count (clipped to ``depth_cap``) — ignores s-table
     conflicts (zero at scattered occupancy) and the per-slice G-padding
     (≤ g−1 per slice)."""
     if a.nnz == 0:
         return 0
-    nwin = max(-(-a.n // WINDOW), 1)
-    lens = a.row_lengths.astype(np.int64)
-    rows = np.repeat(np.arange(a.m, dtype=np.int64), lens)
-    rw = rows * nwin + (a.colidx.astype(np.int64) >> 10)
-    if not np.all(rw[1:] >= rw[:-1]):
-        rw = np.sort(rw)
-    newg = _first_of_group(rw)
-    starts = np.nonzero(newg)[0]
-    counts = np.diff(np.concatenate([starts, [len(rw)]]))
+    sizes, pw = _bundle_group_stats(a, nw.bit_length() - 1)
     if depth_cap is not None:
-        counts = np.minimum(counts, depth_cap)
-    rw_u = rw[starts]
-    pw = ((rw_u // nwin) >> 10) * nwin + rw_u % nwin
+        sizes = np.minimum(sizes, depth_cap)
     if not np.all(pw[1:] >= pw[:-1]):
         o = np.argsort(pw, kind="stable")
-        pw, counts = pw[o], counts[o]
+        pw, sizes = pw[o], sizes[o]
     pstarts = np.nonzero(_first_of_group(pw))[0]
-    return int(np.maximum.reduceat(counts, pstarts).sum())
+    return int(np.maximum.reduceat(sizes, pstarts).sum())
 
 
-def estimate_sell8d_auto(a: CsrMatrix,
-                         max_spill: float = 0.02) -> Tuple[int, int, int]:
-    """(tiles, cap, spilled_nnz) under the auto depth-cap rule — the
-    inspector's pre-pack cost probe (mirrors pack_sell8d's cap choice)."""
+#: per-tile cost model for the nw chooser, CALIBRATED ON-CHIP
+#: (baselines/probe_sell8d_nw.py, uniform100k co-timed): marginal ns/tile
+#: measured 20.1 / 20.3 / 26.9 / 28.5 for nw = 1/2/4/8 — the extra
+#: in-tile gathers are nearly free until nw=4
+_TILE_NS = {1: 20.0, 2: 21.0, 4: 27.0, 8: 29.0}
+#: XLA straggler cost per spilled nnz — measured through the handle:
+#: 51k spilled cost 0.79 ms (gather + segment-sum floor)
+_SPILL_NS = 15.0
+#: a bf16 value stream doubles tile bytes but rides the same DMA window —
+#: measured nw=8-bf16 28.5 vs nw=4-palette 26.9 ns/tile
+_VALS_NS = 4.0
+
+
+def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
+    """Distinct-nonzero-value count + 1 (the reserved 0 code), clipped at
+    ``limit`` — the nw chooser's palette-feasibility probe."""
+    v = np.asarray(vals, dtype=np.float32).reshape(-1)
+    nz = v[v != 0.0]
+    if not len(nz):
+        return 1
+    # cheap early-out: if a 64k sample already exceeds the limit, so does
+    # the full array
+    if len(nz) > 65536:
+        if len(np.unique(nz[:65536])) + 1 > limit:
+            return limit
+    return min(len(np.unique(nz)) + 1, limit)
+
+
+def estimate_sell8d_auto(a: CsrMatrix, max_spill: float = 0.02,
+                         nw: Union[int, None] = 1):
+    """(tiles, cap, spilled_nnz[, nw]) under the auto depth-cap rule — the
+    inspector's pre-pack cost probe (mirrors pack_sell8d's cap choice).
+
+    With ``nw=None``, evaluates bundle widths {1, 2, 4, 8} under the
+    per-tile cost model (wider bundles cost extra in-tile gathers and
+    shrink the value palette to 64 >> log2(nw) entries — infeasible
+    palettes pay a bf16 value stream instead) and returns the 4-tuple
+    including the best nw.
+    """
     if a.nnz == 0:
-        return 0, 0, 0
-    nwin = max(-(-a.n // WINDOW), 1)
-    lens = a.row_lengths.astype(np.int64)
-    rows = np.repeat(np.arange(a.m, dtype=np.int64), lens)
-    rw = rows * nwin + (a.colidx.astype(np.int64) >> 10)
-    rank = _rank_in_group(rw)
-    cap = _auto_cap(rank, max_spill)
-    spilled = int((rank >= cap).sum())
-    return estimate_sell8d_tiles(a, depth_cap=cap), cap, spilled
+        return (0, 0, 0) if nw is not None else (0, 0, 0, 1)
+    choices = (nw,) if nw is not None else (1, 2, 4, 8)
+    best = None
+    rows = np.repeat(np.arange(a.m, dtype=np.int64),
+                     a.row_lengths.astype(np.int64))
+    npal = palette_entry_count(a.vals) if nw is None else 0
+    for w in choices:
+        sizes, pw = _bundle_group_stats(a, w.bit_length() - 1, rows=rows)
+        if not np.all(pw[1:] >= pw[:-1]):
+            o = np.argsort(pw, kind="stable")
+            pw, sizes = pw[o], sizes[o]
+        pstarts = np.nonzero(_first_of_group(pw))[0]
+        dmax = np.maximum.reduceat(sizes, pstarts)
+        cap = _cost_cap(sizes, dmax, w)
+        capped = np.minimum(sizes, cap)
+        spilled = int((sizes - capped).sum())
+        tiles = int(np.minimum(dmax, cap).sum())
+        tile_ns = _TILE_NS[w]
+        if nw is None and npal > (64 >> (w.bit_length() - 1)):
+            tile_ns += _VALS_NS
+        cost = tiles * tile_ns + spilled * _SPILL_NS
+        if best is None or cost < best[0]:
+            best = (cost, tiles, cap, spilled, w)
+    _, tiles, cap, spilled, w = best
+    return (tiles, cap, spilled) if nw is not None \
+        else (tiles, cap, spilled, w)

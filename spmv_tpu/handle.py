@@ -160,7 +160,11 @@ class SpmvHandle:
 
     def __repr__(self) -> str:
         extra = ""
-        if "sell8d" in self.plan:
+        if "hybrid" in self.plan:
+            extra = (f", pallas=hybrid(8w+8d) "
+                     f"pad={self.plan['pad_ratio']:.2f} "
+                     f"dense={self.plan['dense_frac']:.2f}")
+        elif "sell8d" in self.plan:
             extra = f", pallas=sell8d pad={self.plan['pad_ratio']:.2f}"
         elif "sell8w" in self.plan:
             extra = f", pallas=sell8w pad={self.plan['pad_ratio']:.2f}"
@@ -273,26 +277,57 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             from .formats import sell8d as sell8d_fmt
             mem_cap = 6.7e8 / max(mat.nnz, 1)
             allow = max(3.0, min(32.0, mem_cap))
+            nw = extra.get("sell8d_nw", 1)
             packed, rest8d = sell8d_fmt.pack_sell8d(
-                mat, max_pad_ratio=allow)
+                mat, max_pad_ratio=allow, nw=nw)
             plan = {"sell8d": packed, "pad_ratio": packed.pad_ratio,
-                    "value_mode": packed.value_mode}
+                    "value_mode": packed.value_mode, "nw": packed.nw}
             return _finish_rest(plan, [rest8d, extra.get("rest_host")])
 
         def _plan_windowed(mat, extra):
-            # Row-mode (SELL-8W) vs slot-mode (SELL-8D) by estimated tile
-            # slots: slot mode wins on scattered structure (fewer pairs ×
-            # per-row depth), row mode on clustered windows (measured
-            # clustered200k pad 1.92 vs uniform100k 19.6 → 7.7).
+            # Row-mode (SELL-8W) vs slot-mode (SELL-8D) vs the density-
+            # split hybrid, by estimated tile count: slot mode wins on
+            # scattered structure (fewer pairs × per-row depth), row mode
+            # on clustered windows (measured clustered200k pad 1.92 vs
+            # uniform100k 19.6 → 3.7), and the hybrid on heavy-tailed +
+            # scattered mixes (powerlaw: dense row-window segments to row
+            # mode, the light remainder to wide 8D bundles).
             if (mat.n <= V2_MAX_N
                     and np.dtype(mat.dtype) == np.float32):
-                from .formats.sell8d import estimate_sell8d_auto
-                t8d, _cap, spilled = estimate_sell8d_auto(mat)
+                from .formats.sell8d import (estimate_sell8d_auto,
+                                             split_by_window_density)
+                t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
                 t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
-                if (t8d and t8d < 0.7 * t8w
-                        and spilled <= 0.02 * mat.nnz):
+                if spilled > 0.02 * mat.nnz:
+                    t8d = 0                       # 8D alone not viable
+                best = min(t for t in (t8w, t8d) if t) if (t8w or t8d) \
+                    else 0
+                if best and best * sell8w_fmt.WINDOW / mat.nnz > 4.0:
+                    dense, sparse, frac = split_by_window_density(mat)
+                    if (dense is not None and sparse is not None
+                            and 0.05 <= frac <= 0.98):
+                        td = sell8w_fmt.estimate_sell8w_tiles(dense)
+                        ts, _c2, sp2, nw2 = estimate_sell8d_auto(
+                            sparse, nw=None)
+                        if (td + ts < 0.7 * best
+                                and sp2 <= 0.02 * mat.nnz):
+                            try:
+                                pd = _sell8w_plan(dense, {})
+                                psp = _sell8d_plan(
+                                    sparse, {**extra, "sell8d_nw": nw2})
+                                return {
+                                    "hybrid": (pd, psp),
+                                    "pad_ratio": (td + ts)
+                                    * sell8w_fmt.WINDOW / mat.nnz,
+                                    "value_mode": psp.get("value_mode"),
+                                    "dense_frac": frac,
+                                }
+                            except ValueError:
+                                pass
+                if t8d and t8d < 0.7 * t8w:
                     try:
-                        return _sell8d_plan(mat, extra)
+                        return _sell8d_plan(
+                            mat, {**extra, "sell8d_nw": nw})
                     except ValueError:
                         pass
             return _sell8w_plan(mat, extra)
@@ -499,6 +534,14 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     """
     p = plan
     m = method
+    if "hybrid" in p:
+        # density-split: dense row-window segments (row mode) + scattered
+        # remainder (slot mode), outputs summed; each part carries its own
+        # straggler stream.  Independent pallas calls — the scheduler may
+        # overlap them.
+        f1 = _make_bound(m, p["hybrid"][0], m_rows)
+        f2 = _make_bound(m, p["hybrid"][1], m_rows)
+        return lambda x: f1(x) + f2(x)
     if "sell8d" in p or "sell8w_v2" in p or "sell8w_v2w" in p \
             or "sell8w" in p:
         if "sell8d" in p:

@@ -125,7 +125,8 @@ def _run(window_ids, gpk, x, meta, vals, *, ntiles, nslices, n,
 
 
 def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
-               o_ref, *, g: int, value_mode: str, slot_mode: bool = False):
+               o_ref, *, g: int, value_mode: str, slot_mode: bool = False,
+               nw: int = 1):
     """v2 body: G tiles per grid step, x resident in VMEM.
 
     Measured motivation (baselines/probe_step.out, probe3.out): the v1
@@ -137,9 +138,15 @@ def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
     every slot IS a row of the 1024-row output block, so the tile's
     per-slot products accumulate directly — no sublane reduction, no row
     mask.  The gather/decode structure is identical.
+
+    ``nw`` (slot mode only): windows per bundle tile — the tile gathers
+    from nw consecutive 1024-column windows and selects per slot on meta
+    bits 10..10+log2(nw)−1, dividing the (slice, window)-pairs pad floor
+    for scattered matrices (formats/sell8d.py module docstring).
     """
     p = pl.program_id(0)
     gi = ginfo_ref[p]
+    lb = nw.bit_length() - 1
 
     @pl.when((gi & 1) == 1)
     def _():
@@ -148,13 +155,27 @@ def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
     acc = jnp.zeros((SUB, LANES), jnp.float32)
     for k in range(g):
         ti = tinfo_ref[p * g + k]
-        xwin = x_ref[pl.ds((ti >> 3) * SUB, SUB), :]
         m = meta_ref[k].astype(jnp.int32)
-        t1 = jnp.take_along_axis(xwin, (m >> 7) & 7, axis=0)
-        xg = jnp.take_along_axis(t1, m & 127, axis=1)
+        s_idx = (m >> 7) & 7
+        r_idx = m & 127
+        if slot_mode and nw > 1:
+            base = (ti >> 3) * (nw * SUB)
+            wsel = (m >> 10) & (nw - 1)
+            xg = jnp.zeros((SUB, LANES), jnp.float32)
+            for j in range(nw):
+                xwin = x_ref[pl.ds(base + j * SUB, SUB), :]
+                t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
+                gj = jnp.take_along_axis(t1, r_idx, axis=1)
+                xg = jnp.where(wsel == j, gj, xg)
+        else:
+            xwin = x_ref[pl.ds((ti >> 3) * SUB, SUB), :]
+            t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
+            xg = jnp.take_along_axis(t1, r_idx, axis=1)
         if value_mode == "palette":
-            # decode values from the resident palette row (code = bits 10-15)
-            v = jnp.take_along_axis(pal_ref[:], (m >> 10) & 63, axis=1)
+            # decode values from the resident palette row (code = meta
+            # bits 10+lb..15)
+            v = jnp.take_along_axis(pal_ref[:],
+                                    (m >> (10 + lb)) & (63 >> lb), axis=1)
         else:
             v = vals_ref[k].astype(jnp.float32)
         if slot_mode:
@@ -170,10 +191,10 @@ def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
 
 @functools.partial(jax.jit, static_argnames=("g", "value_mode", "nsteps",
                                              "nslices", "n", "interpret",
-                                             "slot_mode"))
+                                             "slot_mode", "nw"))
 def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
-            nslices, n, interpret=False, slot_mode=False):
-    n_pad = -(-n // WINDOW) * WINDOW
+            nslices, n, interpret=False, slot_mode=False, nw=1):
+    n_pad = -(-n // (WINDOW * nw)) * (WINDOW * nw)
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
     x2 = x.astype(jnp.float32).reshape(-1, LANES)
@@ -193,7 +214,7 @@ def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
                                                            jnp.float32),
             pal)
     kern = functools.partial(_kernel_v2, g=g, value_mode=value_mode,
-                             slot_mode=slot_mode)
+                             slot_mode=slot_mode, nw=nw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -561,13 +582,13 @@ def build_sell8d_fn(packed, interpret: bool = False):
         (packed.palette if packed.palette is not None
          else np.zeros(LANES, np.float32))[None, :], (SUB, 1)))
     m, n, nsteps, nslices = packed.m, packed.n, packed.nsteps, packed.nslices
-    value_mode, G = packed.value_mode, packed.g
+    value_mode, G, nw = packed.value_mode, packed.g, packed.nw
 
     def fn(x):
         out = _run_v2(tinfo, ginfo, x, meta, vals, pal, g=G,
                       value_mode=value_mode, nsteps=nsteps,
                       nslices=nslices, n=n, interpret=interpret,
-                      slot_mode=True)
+                      slot_mode=True, nw=nw)
         return out.reshape(-1)[:m]
 
     return fn

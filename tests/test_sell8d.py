@@ -100,13 +100,20 @@ def test_depth_cap_pins_tiles():
     np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-5)
 
 
-def test_spill_gate_raises_on_dense_windows():
-    # dense-window structure (the SELL-8W regime): occupancy makes the
-    # shared s-table unresolvable within budget → the gate must raise,
-    # never corrupt
+def test_spill_gate_raises_on_capped_tail():
+    # a pinned depth cap spills the rank tail; a tiny spill allowance must
+    # raise, never corrupt.  (Conflict leftovers no longer spill — the
+    # overflow phase absorbs them into fresh depth levels.)
     a = generate.random_uniform(3000, 3000, 12, dtype=np.float32, seed=3)
     with pytest.raises(ValueError):
-        pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.001)
+        pack_sell8d(a, max_pad_ratio=100.0, depth_cap=1, max_spill=0.001)
+
+
+def test_dense_windows_resolve_via_overflow():
+    # dense-window occupancy floods the shared s-table; overflow levels
+    # must absorb the conflicts exactly
+    a = generate.random_uniform(3000, 3000, 12, dtype=np.float32, seed=3)
+    _check(a, max_pad_ratio=100.0, max_spill=0.02)
 
 
 def test_hostile_duplicate_cells():
@@ -162,3 +169,49 @@ def test_unsorted_columns():
         vals[s:e] = vals[s:e][p]
     b = CsrMatrix(a.m, a.n, rowptr, colidx, vals)
     _check(b, max_pad_ratio=100.0, max_spill=0.05)
+
+
+def test_window_bundles_nw():
+    # bundle widths: same numerics, monotonically fewer tiles on scatter
+    a = generate.random_uniform(9000, 9000, 8, dtype=np.float32, seed=3)
+    x = np.random.default_rng(5).standard_normal(a.n).astype(np.float32)
+    g = spmv_golden(a, x)
+    tiles = []
+    for nw in (1, 2, 4, 8):
+        p, r = pack_sell8d(a, max_pad_ratio=60.0, max_spill=0.10, nw=nw)
+        fn = build_sell8d_fn(p, interpret=True)
+        y = np.asarray(fn(x)) + _golden_rest(r, x, a.m)
+        assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
+        tiles.append(p.ntiles)
+    assert tiles[-1] <= tiles[0]
+
+
+def test_nw_chooser():
+    a = generate.random_uniform(9000, 9000, 8, dtype=np.float32, seed=3)
+    tiles, cap, spilled, nw = estimate_sell8d_auto(a, nw=None)
+    assert nw in (1, 2, 4, 8)
+    assert tiles > 0
+
+
+def test_density_split_hybrid():
+    # powerlaw-ish mix: heavy window segments + scattered remainder; the
+    # two packs must cover the matrix exactly
+    from spmv_tpu.formats.sell8d import split_by_window_density
+    a = generate.power_law(8000, 8000, 10 * 8000, dtype=np.float32, seed=2)
+    dense, sparse, frac = split_by_window_density(a)
+    assert dense is not None and sparse is not None
+    assert dense.nnz + sparse.nnz == a.nnz
+    assert 0.0 < frac < 1.0
+    x = np.random.default_rng(5).standard_normal(a.n).astype(np.float32)
+    g = spmv_golden(a, x)
+    y = np.zeros(a.m, np.float64)
+    # sparse side through 8D bundles (auto cap + chooser nw), dense side
+    # through the golden (the handle packs it as SELL-8W; exactness of
+    # that path has its own tests)
+    _t, _c, _s, nw = estimate_sell8d_auto(sparse, nw=None)
+    p, r = pack_sell8d(sparse, max_pad_ratio=200.0, max_spill=0.2, nw=nw)
+    fn = build_sell8d_fn(p, interpret=True)
+    y += np.asarray(fn(x))
+    y += _golden_rest(r, x, a.m)
+    y += spmv_golden(dense, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
