@@ -236,8 +236,8 @@ def _tile_for(nnz: int, nthreads: int, method: Method) -> int:
 
 
 def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
-                vectorized: VectorizedWay = VectorizedWay.VPU
-                ) -> Dict[str, Any]:
+                vectorized: VectorizedWay = VectorizedWay.VPU,
+                hints: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     dev = jax.device_put
     if (method in (Method.SELL_C_SIGMA, Method.PARALLEL)
             and vectorized != VectorizedWay.NONE
@@ -276,10 +276,14 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             # tail + s-table leftovers ride the straggler stream.
             from .formats import sell8d as sell8d_fmt
             mem_cap = 6.7e8 / max(mat.nnz, 1)
-            allow = max(3.0, min(32.0, mem_cap))
+            allow = extra.get("sell8d_allow",
+                              max(3.0, min(32.0, mem_cap)))
             nw = extra.get("sell8d_nw", 1)
+            # small streams: halve the per-slice G-padding floor (G·nslices
+            # minimum tiles — 1.6k of 4.7k tiles on powerlaw's light part)
+            g = 8 if mat.nnz < 500_000 else 16
             packed, rest8d = sell8d_fmt.pack_sell8d(
-                mat, max_pad_ratio=allow, nw=nw)
+                mat, max_pad_ratio=allow, nw=nw, g=g)
             plan = {"sell8d": packed, "pad_ratio": packed.pad_ratio,
                     "value_mode": packed.value_mode, "nw": packed.nw}
             return _finish_rest(plan, [rest8d, extra.get("rest_host")])
@@ -295,7 +299,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             if (mat.n <= V2_MAX_N
                     and np.dtype(mat.dtype) == np.float32):
                 from .formats.sell8d import (estimate_sell8d_auto,
-                                             split_by_window_density)
+                                             prepare_hybrid)
                 t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
                 t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
                 if spilled > 0.02 * mat.nnz:
@@ -303,27 +307,35 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 best = min(t for t in (t8w, t8d) if t) if (t8w or t8d) \
                     else 0
                 if best and best * sell8w_fmt.WINDOW / mat.nnz > 4.0:
-                    dense, sparse, frac = split_by_window_density(mat)
-                    if (dense is not None and sparse is not None
-                            and 0.05 <= frac <= 0.98):
-                        td = sell8w_fmt.estimate_sell8w_tiles(dense)
-                        ts, _c2, sp2, nw2 = estimate_sell8d_auto(
-                            sparse, nw=None)
-                        if (td + ts < 0.7 * best
-                                and sp2 <= 0.02 * mat.nnz):
-                            try:
-                                pd = _sell8w_plan(dense, {})
-                                psp = _sell8d_plan(
-                                    sparse, {**extra, "sell8d_nw": nw2})
-                                return {
-                                    "hybrid": (pd, psp),
-                                    "pad_ratio": (td + ts)
-                                    * sell8w_fmt.WINDOW / mat.nnz,
-                                    "value_mode": psp.get("value_mode"),
-                                    "dense_frac": frac,
-                                }
-                            except ValueError:
-                                pass
+                    prep = ((hints or {}).get("hybrid_prep")
+                            or prepare_hybrid(mat))
+                    if (prep is not None and prep.tiles < 0.7 * best
+                            and prep.spilled <= 0.02 * mat.nnz):
+                        try:
+                            pd = _sell8w_plan(prep.dense_sorted, {})
+                            pd["m_rows"] = prep.dense_sorted.m
+                            pd["fold_rows"] = dev(
+                                prep.fold_rows.astype(INT_DTYPE))
+                            # the sub-part pad gate scales to its own nnz
+                            # (the whole-plan budget was already gated on
+                            # prep.tiles vs the full matrix)
+                            allow_s = min(
+                                96.0, max(32.0, 1.5 * prep.ts
+                                          * sell8w_fmt.WINDOW
+                                          / max(prep.sparse.nnz, 1)))
+                            psp = _sell8d_plan(
+                                prep.sparse,
+                                {**extra, "sell8d_nw": prep.nw,
+                                 "sell8d_allow": allow_s})
+                            return {
+                                "hybrid": (pd, psp),
+                                "pad_ratio": prep.tiles
+                                * sell8w_fmt.WINDOW / mat.nnz,
+                                "value_mode": psp.get("value_mode"),
+                                "dense_frac": prep.dense_frac,
+                            }
+                        except ValueError:
+                            pass
                 if t8d and t8d < 0.7 * t8w:
                     try:
                         return _sell8d_plan(
@@ -535,12 +547,16 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
     p = plan
     m = method
     if "hybrid" in p:
-        # density-split: dense row-window segments (row mode) + scattered
-        # remainder (slot mode), outputs summed; each part carries its own
-        # straggler stream.  Independent pallas calls — the scheduler may
-        # overlap them.
-        f1 = _make_bound(m, p["hybrid"][0], m_rows)
-        f2 = _make_bound(m, p["hybrid"][1], m_rows)
+        # density-split: dense row-window segments (row mode, compacted to
+        # heavy rows) + scattered remainder (slot mode, natural order);
+        # the compact dense output folds back with one small scatter-add.
+        # Independent pallas calls — the scheduler may overlap them.
+        pd, psp = p["hybrid"]
+        f1 = _make_bound(m, pd, pd.get("m_rows", m_rows))
+        f2 = _make_bound(m, psp, m_rows)
+        if "fold_rows" in pd:
+            fr = pd["fold_rows"]
+            return lambda x: f2(x).at[fr].add(f1(x))
         return lambda x: f1(x) + f2(x)
     if "sell8d" in p or "sell8w_v2" in p or "sell8w_v2w" in p \
             or "sell8w" in p:
@@ -656,6 +672,7 @@ def create_handle(a: CsrMatrix,
         a, _ = reorder_mod.reorder_symmetric(a, perm)
     resolved = requested
     row_perm = None
+    plan_hints: Dict[str, Any] = {}
     if requested == Method.AUTO:
         from .inspector import choose_method
         resolved = choose_method(a)
@@ -672,12 +689,27 @@ def create_handle(a: CsrMatrix,
             # output gather (vs two for a symmetric reorder; the estimate
             # is identical, 19.47 vs 19.49 on powerlaw100k).
             from .formats import reorder as reorder_mod
+            from .formats.sell8d import prepare_hybrid
             from .formats.sell8w import estimate_sell8w_tiles, WINDOW
-            perm_try = reorder_mod.length_order(a)
-            a_try = reorder_mod.reorder_rows(a, perm_try)
-            est = estimate_sell8w_tiles(a_try) * WINDOW / a.nnz
-            if est <= min(32.0, 6.7e8 / a.nnz):
-                a, row_perm, resolved = a_try, perm_try, Method.SELL_C_SIGMA
+            # Prefer the density-split hybrid on NATURAL order: the
+            # compact dense part folds back with a small scatter-add,
+            # where a global length-sort costs a whole-m inverse gather
+            # per exec (~0.4 ms at 100k rows — measured comparable to the
+            # hybrid's entire kernel time on powerlaw100k).
+            prep = prepare_hybrid(a) if a.n <= 2_000_000 else None
+            if (prep is not None
+                    and prep.tiles * WINDOW / a.nnz
+                    <= min(32.0, 6.7e8 / a.nnz)
+                    and prep.spilled <= 0.02 * a.nnz):
+                resolved = Method.SELL_C_SIGMA   # hybrid in _plan_windowed
+                plan_hints["hybrid_prep"] = prep
+            else:
+                perm_try = reorder_mod.length_order(a)
+                a_try = reorder_mod.reorder_rows(a, perm_try)
+                est = estimate_sell8w_tiles(a_try) * WINDOW / a.nnz
+                if est <= min(32.0, 6.7e8 / a.nnz):
+                    a, row_perm, resolved = (a_try, perm_try,
+                                             Method.SELL_C_SIGMA)
     if (VectorizedWay(vectorized) == VectorizedWay.MXU
             and resolved in (Method.PARALLEL, Method.SELL_C_SIGMA,
                              Method.CSR5) and a.nnz > 0):
@@ -691,7 +723,8 @@ def create_handle(a: CsrMatrix,
         nblocks, fill = bcsr_fmt.bcsr_profile(a)
         if fill >= 0.02 and nblocks * bcsr_fmt.BLOCK ** 2 * 8 <= 4e9:
             resolved = Method.BCSR
-    plan = _build_plan(a, resolved, nthreads, VectorizedWay(vectorized))
+    plan = _build_plan(a, resolved, nthreads, VectorizedWay(vectorized),
+                       hints=plan_hints)
     if plan.pop("demoted", False):
         resolved = Method.BALANCED    # reference's balanced2 demotion rule
     bound = _make_bound(resolved, plan, a.m)

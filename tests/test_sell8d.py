@@ -215,3 +215,20 @@ def test_density_split_hybrid():
     y += _golden_rest(r, x, a.m)
     y += spmv_golden(dense, x)
     assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
+
+
+def test_prepare_hybrid_fold_exact():
+    # compact dense part + scatter-add fold must reproduce the golden
+    from spmv_tpu.formats.sell8d import prepare_hybrid
+    a = generate.power_law(8000, 8000, 10 * 8000, dtype=np.float32, seed=2)
+    prep = prepare_hybrid(a)
+    assert prep is not None
+    assert prep.dense_sorted.nnz + prep.sparse.nnz == a.nnz
+    assert prep.dense_sorted.m == len(prep.fold_rows)
+    x = np.random.default_rng(5).standard_normal(a.n).astype(np.float32)
+    y = np.zeros(a.m, np.float64)
+    yd = spmv_golden(prep.dense_sorted, x)      # compact row space
+    np.add.at(y, prep.fold_rows, yd)
+    y += spmv_golden(prep.sparse, x)
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 1e-6
