@@ -11,8 +11,7 @@ windows ~15 s apart, best kept (the device's effective bandwidth swings
 ``vs_baseline`` (headline) and per-config ``vs_ref`` compare against the
 best number the *reference library itself* achieves on this machine's CPU
 for the SAME matrix (4 threads, AVX2, f64 — its harness dtype), measured in
-baselines/reference_cpu*.csv; powerlaw has no reference-CPU run, so its ref
-is the measured scipy.sparse CSR rate (the MKL-baseline role).
+baselines/reference_cpu*.csv.
 """
 
 import json
@@ -23,12 +22,12 @@ import numpy as np
 
 #: reference spmv_l2 best avg GFLOP/s on this host CPU, same matrices
 #: (baselines/reference_cpu_banded4m.csv, reference_cpu_clustered200k.csv,
-#: reference_cpu.csv); powerlaw ref = ScipyCsr measured on this host.
+#: reference_cpu.csv, reference_cpu_powerlaw100k.csv).
 REFS = {
     "banded4m": ("reference SellCSigma x4, f64", 6.11),
     "clustered200k": ("reference SellCSigma x4, f64", 9.64),
     "uniform100k": ("reference Balanced x4, f64", 8.18),
-    "powerlaw100k": ("scipy.sparse CSR (host CPU)", 1.18),
+    "powerlaw100k": ("reference Parallel x4, f64", 5.09),
 }
 
 
