@@ -405,27 +405,59 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     np.bitwise_or(meta, s_plane, out=meta)
     del s_plane
 
-    pal = value_palette(vals_k, max_entries=64 >> lb)
-    vals_arr = None
-    if pal is not None:
-        palette, codes = pal
-        value_mode = "palette"
-        code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
-        code_plane[slot_flat] = (codes.view(np.uint16)
-                                 << np.uint16(10 + lb))
-        np.bitwise_or(meta, code_plane, out=meta)
-        del code_plane
+    vals_arr = vals_lo = palette = palette_lo = None
+    if np.dtype(vals_k.dtype) == np.float64:
+        # double-float: aligned (hi, lo) f32 planes for the EFT kernel —
+        # the placement above is value-independent, so one pass builds
+        # both (the f64 analog of sell8w's pack-twice trick)
+        uniq = np.unique(vals_k[vals_k != 0.0])
+        if len(uniq) + 1 <= (64 >> lb):
+            value_mode = "palette_df"
+            codes = np.zeros(len(vals_k), dtype=np.int16)
+            nzm = vals_k != 0.0
+            codes[nzm] = (np.searchsorted(uniq, vals_k[nzm]) + 1) \
+                .astype(np.int16)
+            palette = np.zeros(LANES, dtype=np.float32)
+            palette[1: 1 + len(uniq)] = uniq.astype(np.float32)
+            palette_lo = np.zeros(LANES, dtype=np.float32)
+            palette_lo[1: 1 + len(uniq)] = (
+                uniq - palette[1: 1 + len(uniq)].astype(np.float64)
+            ).astype(np.float32)
+            code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
+            code_plane[slot_flat] = (codes.view(np.uint16)
+                                     << np.uint16(10 + lb))
+            np.bitwise_or(meta, code_plane, out=meta)
+            del code_plane
+        else:
+            value_mode = "df"
+            vhi = vals_k.astype(np.float32)
+            vlo = (vals_k - vhi.astype(np.float64)).astype(np.float32)
+            vals_arr = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
+            vals_arr[slot_flat] = vhi
+            vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
+            vals_lo = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
+            vals_lo[slot_flat] = vlo
+            vals_lo = vals_lo.reshape(ntiles, SUB, LANES)
     else:
-        import ml_dtypes
-        v32 = vals_k.astype(np.float32)
-        lossless = bool(np.array_equal(
-            v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
-        dt = ml_dtypes.bfloat16 if lossless else np.float32
-        value_mode = "bf16" if lossless else "f32"
-        vals_arr = np.zeros(ntiles * SUB * LANES, dtype=dt)
-        vals_arr[slot_flat] = v32.astype(dt)
-        vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
-        palette = None
+        pal = value_palette(vals_k, max_entries=64 >> lb)
+        if pal is not None:
+            palette, codes = pal
+            value_mode = "palette"
+            code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
+            code_plane[slot_flat] = (codes.view(np.uint16)
+                                     << np.uint16(10 + lb))
+            np.bitwise_or(meta, code_plane, out=meta)
+            del code_plane
+        else:
+            import ml_dtypes
+            v32 = vals_k.astype(np.float32)
+            lossless = bool(np.array_equal(
+                v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
+            dt = ml_dtypes.bfloat16 if lossless else np.float32
+            value_mode = "bf16" if lossless else "f32"
+            vals_arr = np.zeros(ntiles * SUB * LANES, dtype=dt)
+            vals_arr[slot_flat] = v32.astype(dt)
+            vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
     meta = meta.reshape(ntiles, SUB, LANES)
 
     tinfo = np.zeros(ntiles, dtype=np.int32)
@@ -451,7 +483,8 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
         m=m, n=n, nnz_stored=nnz_kept, nslices=nslices, g=g,
         ntiles=ntiles, nsteps=nsteps, value_mode=value_mode,
         tinfo=tinfo, ginfo=ginfo, meta=meta.view(np.int16),
-        vals=vals_arr, palette=palette, nw=nw)
+        vals=vals_arr, palette=palette, nw=nw,
+        vals_lo=vals_lo, palette_lo=palette_lo)
     rest = None
     if spill.any():
         rest = (rows[spill], cols[spill], np.asarray(a.vals)[spill])
@@ -469,7 +502,7 @@ class Sell8D:
     g: int                     # tiles per grid step
     ntiles: int                # padded to G per slice
     nsteps: int
-    value_mode: str            # "palette" | "bf16" | "f32"
+    value_mode: str    # "palette" | "bf16" | "f32" | "df" | "palette_df"
     tinfo: np.ndarray          # (ntiles,) int32: bundle << 3
     ginfo: np.ndarray          # (nsteps,) int32: slice << 1 | first_flag
     meta: np.ndarray           # (ntiles, 8, 128) int16:
@@ -477,6 +510,9 @@ class Sell8D:
     vals: Optional[np.ndarray]   # (ntiles, 8, 128), None for palette
     palette: Optional[np.ndarray]  # (128,) f32
     nw: int = 1                # windows per bundle tile
+    #: double-float (f64) low parts — aligned with vals/palette
+    vals_lo: Optional[np.ndarray] = None
+    palette_lo: Optional[np.ndarray] = None
 
     @property
     def pad_ratio(self) -> float:

@@ -297,7 +297,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             # scattered mixes (powerlaw: dense row-window segments to row
             # mode, the light remainder to wide 8D bundles).
             if (mat.n <= V2_MAX_N
-                    and np.dtype(mat.dtype) == np.float32):
+                    and np.dtype(mat.dtype) in (np.dtype(np.float32),
+                                                np.dtype(np.float64))):
                 from .formats.sell8d import (estimate_sell8d_auto,
                                              prepare_hybrid)
                 t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)

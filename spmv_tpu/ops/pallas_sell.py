@@ -413,7 +413,8 @@ def _two_product(a, b):
 
 def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
                   vhi_ref, vlo_ref, palhi_ref, pallo_ref, ohi_ref, olo_ref,
-                  *, g: int, palette: bool):
+                  *, g: int, palette: bool, slot_mode: bool = False,
+                  nw: int = 1):
     """Double-float (f64 ≈ two f32) v2 body — the f64 Pallas tier.
 
     The reference is f64-first (include/spmv.h:49); TPU vector units have no
@@ -431,22 +432,41 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
         ohi_ref[0] = jnp.zeros_like(ohi_ref[0])
         olo_ref[0] = jnp.zeros_like(olo_ref[0])
 
+    lb = nw.bit_length() - 1
     acchi = jnp.zeros((SUB, LANES), jnp.float32)
     acclo = jnp.zeros((SUB, LANES), jnp.float32)
     for k in range(g):
         ti = tinfo_ref[p * g + k]
-        base = (ti >> 3) * SUB
         m = meta_ref[k].astype(jnp.int32)
         sidx = (m >> 7) & 7
         ridx = m & 127
-        xh = jnp.take_along_axis(
-            jnp.take_along_axis(xhi_ref[pl.ds(base, SUB), :], sidx, axis=0),
-            ridx, axis=1)
-        xl = jnp.take_along_axis(
-            jnp.take_along_axis(xlo_ref[pl.ds(base, SUB), :], sidx, axis=0),
-            ridx, axis=1)
+        if slot_mode and nw > 1:
+            base = (ti >> 3) * (nw * SUB)
+            wsel = (m >> 10) & (nw - 1)
+            xh = jnp.zeros((SUB, LANES), jnp.float32)
+            xl = jnp.zeros((SUB, LANES), jnp.float32)
+            for j in range(nw):
+                th = jnp.take_along_axis(
+                    jnp.take_along_axis(
+                        xhi_ref[pl.ds(base + j * SUB, SUB), :],
+                        sidx, axis=0), ridx, axis=1)
+                tl = jnp.take_along_axis(
+                    jnp.take_along_axis(
+                        xlo_ref[pl.ds(base + j * SUB, SUB), :],
+                        sidx, axis=0), ridx, axis=1)
+                sel = wsel == j
+                xh = jnp.where(sel, th, xh)
+                xl = jnp.where(sel, tl, xl)
+        else:
+            base = (ti >> 3) * SUB
+            xh = jnp.take_along_axis(
+                jnp.take_along_axis(xhi_ref[pl.ds(base, SUB), :], sidx,
+                                    axis=0), ridx, axis=1)
+            xl = jnp.take_along_axis(
+                jnp.take_along_axis(xlo_ref[pl.ds(base, SUB), :], sidx,
+                                    axis=0), ridx, axis=1)
         if palette:
-            code = (m >> 10) & 63
+            code = (m >> (10 + lb)) & (63 >> lb)
             vh = jnp.take_along_axis(palhi_ref[:], code, axis=1)
             vl = jnp.take_along_axis(pallo_ref[:], code, axis=1)
         else:
@@ -454,6 +474,11 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
             vl = vlo_ref[k]
         ph, pe = _two_product(vh, xh)
         plo = pe + vh * xl + vl * xh
+        if slot_mode:
+            # per-slot accumulation — no sublane reduce, no row mask
+            acchi, e = _two_sum(acchi, ph)
+            acclo = acclo + e + plo
+            continue
         shi = ph[0]
         slo = plo[0]
         for i in range(1, SUB):
@@ -471,17 +496,19 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("g", "palette", "nsteps",
-                                             "nslices", "n", "interpret"))
+                                             "nslices", "n", "interpret",
+                                             "slot_mode", "nw"))
 def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
-               palette, nsteps, nslices, n, interpret=False):
-    n_pad = -(-n // WINDOW) * WINDOW
+               palette, nsteps, nslices, n, interpret=False,
+               slot_mode=False, nw=1):
+    n_pad = -(-n // (WINDOW * nw)) * (WINDOW * nw)
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
     xhi = x.astype(jnp.float32)
     xlo = (x - xhi.astype(x.dtype)).astype(jnp.float32)
     x2hi = xhi.reshape(-1, LANES)
     x2lo = xlo.reshape(-1, LANES)
-    ngroups = max(-(-nslices // SUB), 1)
+    ngroups = nslices if slot_mode else max(-(-nslices // SUB), 1)
     nrows_x2 = n_pad // LANES
 
     tile_spec = pl.BlockSpec((g, SUB, LANES), lambda t, ti, gi: (t, 0, 0))
@@ -495,7 +522,8 @@ def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
     args = (x2hi, x2lo, meta,
             dummy if palette else vhi, dummy if palette else vlo,
             palhi if palette else dummy, pallo if palette else dummy)
-    kern = functools.partial(_kernel_v2_df, g=g, palette=palette)
+    kern = functools.partial(_kernel_v2_df, g=g, palette=palette,
+                             slot_mode=slot_mode, nw=nw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -578,11 +606,34 @@ def build_sell8d_fn(packed, interpret: bool = False):
     ginfo = jnp.asarray(packed.ginfo)
     meta = jnp.asarray(packed.meta)
     vals = jnp.asarray(packed.vals) if packed.vals is not None else None
-    pal = jnp.asarray(np.tile(
-        (packed.palette if packed.palette is not None
-         else np.zeros(LANES, np.float32))[None, :], (SUB, 1)))
+
+    def tile_pal(p):
+        return jnp.asarray(np.tile(
+            (p if p is not None
+             else np.zeros(LANES, np.float32))[None, :], (SUB, 1)))
+
+    pal = tile_pal(packed.palette)
     m, n, nsteps, nslices = packed.m, packed.n, packed.nsteps, packed.nslices
     value_mode, G, nw = packed.value_mode, packed.g, packed.nw
+
+    if value_mode in ("df", "palette_df"):
+        # double-float f64 slot mode (aligned hi/lo planes from the pack)
+        vlo = (jnp.asarray(packed.vals_lo)
+               if packed.vals_lo is not None else None)
+        pallo = tile_pal(packed.palette_lo)
+        is_pal = value_mode == "palette_df"
+        dummy = jnp.zeros((SUB, LANES), jnp.float32)
+
+        def fn_df(x):
+            out = _run_v2_df(
+                tinfo, ginfo, x, meta,
+                dummy if is_pal else vals, dummy if is_pal else vlo,
+                pal if is_pal else dummy, pallo if is_pal else dummy,
+                g=G, palette=is_pal, nsteps=nsteps, nslices=nslices,
+                n=n, interpret=interpret, slot_mode=True, nw=nw)
+            return out.reshape(-1)[:m]
+
+        return fn_df
 
     def fn(x):
         out = _run_v2(tinfo, ginfo, x, meta, vals, pal, g=G,

@@ -232,3 +232,42 @@ def test_prepare_hybrid_fold_exact():
     y += spmv_golden(prep.sparse, x)
     g = spmv_golden(a, x)
     assert np.abs(y - g).max() / np.abs(g).max() < 1e-6
+
+
+def test_f64_double_float_slot_mode():
+    # f64 input packs aligned hi/lo planes; interpret mode (XLA:CPU)
+    # simplifies the error-free transforms, so assert structure + f32-level
+    # accuracy here; the tight ≤1e-12 bound is validated on hardware
+    # (baselines/validate_sell8d_onchip.py — PERFNOTES.md EFT caveat)
+    a32 = generate.random_uniform(6000, 6000, 6, dtype=np.float32, seed=5)
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal(a32.nnz)          # f64, >64 distinct
+    a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx, vals)
+    for nw in (1, 4):
+        p, r = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05, nw=nw)
+        assert p.value_mode == "df"
+        assert p.vals_lo is not None
+        fn = build_sell8d_fn(p, interpret=True)
+        x = rng.standard_normal(a.n)
+        y = np.asarray(fn(x)).astype(np.float64)
+        if r is not None:
+            np.add.at(y, r[0], r[2] * x[r[1]])
+        g = spmv_golden(a, x)
+        assert np.abs(y - g).max() / np.abs(g).max() < 1e-5
+
+
+def test_f64_palette_df():
+    # few distinct f64 values → palette_df (hi/lo palettes share codes)
+    a32 = generate.random_uniform(5000, 5000, 5, dtype=np.float32, seed=6)
+    rng = np.random.default_rng(4)
+    vals = (rng.integers(1, 8, a32.nnz) * (1.0 / 3.0))   # inexact in f32
+    a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx, vals)
+    p, r = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05, nw=2)
+    assert p.value_mode == "palette_df"
+    fn = build_sell8d_fn(p, interpret=True)
+    x = rng.standard_normal(a.n)
+    y = np.asarray(fn(x)).astype(np.float64)
+    if r is not None:
+        np.add.at(y, r[0], r[2] * x[r[1]])
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 1e-5
