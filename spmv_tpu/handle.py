@@ -424,8 +424,11 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             and jax.default_backend() == "tpu"
             and a.nnz > 0):
         # Two-pass COO2 Pallas path (formats/coo2.py) — the CSR5-analog
-        # tiled design for matrices with moderate column scatter; falls
-        # back to the XLA tiled scan when the reduce padding explodes.
+        # tiled design for matrices with moderate column scatter; when the
+        # reduce padding explodes, retry as SELL-8D slot-mode bundles (the
+        # round-2 scattered tier) before the XLA tiled scan — CSR5 is the
+        # reference's scattered workhorse and should stay off the gather
+        # floor wherever a tile plan exists.
         from .formats import coo2 as coo2_fmt
         try:
             packed = coo2_fmt.pack_coo2(a, max_pad2=8.0)
@@ -433,7 +436,13 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     "pad1": packed.pad_ratio_pass1,
                     "pad2": packed.pad_ratio_pass2}
         except ValueError:
-            pass  # fall through to the XLA plan
+            if a.n <= 2_000_000:
+                alt = _build_plan(a, Method.SELL_C_SIGMA, nthreads,
+                                  vectorized, hints=hints)
+                if any(k in alt for k in ("sell8d", "sell8w", "sell8w_v2",
+                                          "sell8w_v2w", "hybrid")):
+                    return alt
+            # fall through to the XLA plan
     if method == Method.SERIAL:
         return {
             "rows": dev(partition.row_ids(a)),
