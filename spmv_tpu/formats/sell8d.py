@@ -159,7 +159,9 @@ def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
 def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
                 depth_cap: Union[int, str, None] = "auto",
                 max_repair: int = 8, max_spill: float = 0.02,
-                nw: int = 1) -> Tuple["Sell8D", Optional[tuple]]:
+                nw: int = 1, force_value_mode: Optional[str] = None,
+                palette_values: Optional[np.ndarray] = None
+                ) -> Tuple["Sell8D", Optional[tuple]]:
     """Pack into the slot-mode deep-slice stream.
 
     Returns ``(packed, rest)`` where ``rest`` is ``None`` or a
@@ -439,7 +441,29 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
             vals_lo[slot_flat] = vlo
             vals_lo = vals_lo.reshape(ntiles, SUB, LANES)
     else:
-        pal = value_palette(vals_k, max_entries=64 >> lb)
+        if palette_values is not None:
+            # shared code table (multi-shard packs must decode against ONE
+            # palette): codes = position in the given sorted nonzero set
+            uniq = np.asarray(palette_values, dtype=np.float32)
+            if len(uniq) + 1 > (64 >> lb):
+                raise ValueError("shared palette exceeds the meta budget")
+            v32 = vals_k.astype(np.float32)
+            codes = np.zeros(len(vals_k), dtype=np.int16)
+            nzm = v32 != 0.0
+            pos = np.searchsorted(uniq, v32[nzm])
+            if (pos >= len(uniq)).any() or not np.array_equal(
+                    uniq[np.minimum(pos, len(uniq) - 1)], v32[nzm]):
+                raise ValueError("values outside the shared palette")
+            codes[nzm] = (pos + 1).astype(np.int16)
+            palette = np.zeros(LANES, dtype=np.float32)
+            palette[1: 1 + len(uniq)] = uniq
+            pal = (palette, codes)
+        else:
+            pal = (value_palette(vals_k, max_entries=64 >> lb)
+                   if force_value_mode in (None, "palette") else None)
+        if force_value_mode == "palette" and pal is None:
+            raise ValueError("palette value mode forced but > "
+                             f"{64 >> lb} distinct values")
         if pal is not None:
             palette, codes = pal
             value_mode = "palette"
@@ -453,8 +477,13 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
             v32 = vals_k.astype(np.float32)
             lossless = bool(np.array_equal(
                 v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
-            dt = ml_dtypes.bfloat16 if lossless else np.float32
-            value_mode = "bf16" if lossless else "f32"
+            if force_value_mode == "bf16" and not lossless:
+                raise ValueError("bf16 value mode forced but values are "
+                                 "not bf16-exact")
+            use_bf16 = (lossless if force_value_mode is None
+                        else force_value_mode == "bf16")
+            dt = ml_dtypes.bfloat16 if use_bf16 else np.float32
+            value_mode = "bf16" if use_bf16 else "f32"
             vals_arr = np.zeros(ntiles * SUB * LANES, dtype=dt)
             vals_arr[slot_flat] = v32.astype(dt)
             vals_arr = vals_arr.reshape(ntiles, SUB, LANES)

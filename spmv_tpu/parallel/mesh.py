@@ -45,6 +45,7 @@ from ..ops import xla_csr
 __all__ = ["DistSpmvPlan", "build_dist_plan", "dist_spmv",
            "DistDiaPlan", "build_dist_dia_plan", "dist_dia_spmv",
            "DistSell8WPlan", "build_dist_sell8w_plan", "dist_sell8w_spmv",
+           "DistSell8DPlan", "build_dist_sell8d_plan", "dist_sell8d_spmv",
            "make_mesh_1d"]
 
 
@@ -767,3 +768,270 @@ def dist_sell8w_spmv(plan: DistSell8WPlan, x) -> jax.Array:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
     y = plan._exec(plan.window_ids, plan.gpk, plan.meta, plan.vals, x)
     return y[: plan.m]
+
+
+@dataclasses.dataclass
+class DistSell8DPlan:
+    """Row-blocked SELL-8D slot-mode over a 1-D mesh (the scattered tier
+    distributed): every shard owns ``mr`` rows (1024·nw-aligned so bundle
+    windows stay aligned after halo localization) packed independently
+    into the deep-slice stream, padded to a common tile count; one
+    shard_map program runs the v2 slot-mode kernel on all shards.  Shard
+    spills (depth-cap tails / unresolved s-conflicts) are concatenated
+    into ONE global straggler stream computed outside the shard_map
+    against the full x and added to the gathered output."""
+
+    mesh: Mesh
+    axis: str
+    ndev: int
+    m: int
+    n: int
+    nnz: int
+    mr: int
+    ntiles: int                 # common (padded) tiles per shard
+    nsteps: int
+    nslices: int                # per shard
+    g: int
+    nw: int
+    value_mode: str
+    tinfo: jax.Array            # (ndev, ntiles) sharded
+    ginfo: jax.Array            # (ndev, nsteps)
+    meta: jax.Array             # (ndev, ntiles, 8, 128) int16
+    vals: jax.Array             # (ndev, ntiles, 8, 128) or (8,128) dummy
+    pal: jax.Array              # (8, 128) replicated palette rows
+    x_mode: str
+    max_pad: float = 0.0
+    rest: Optional[tuple] = None   # (rows, cols, vals) global straggler
+    _halo: int = 0
+    _exec: object = None
+
+    def __call__(self, x) -> jax.Array:
+        return dist_sell8d_spmv(self, x)
+
+
+def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
+                           x_mode: str = "replicated",
+                           nw: Optional[int] = None,
+                           max_pad_ratio: float = 32.0,
+                           interpret: bool = False) -> DistSell8DPlan:
+    """Shard rows into 1024·nw-aligned blocks and pack each as SELL-8D.
+
+    The bundle width and value mode are chosen GLOBALLY (one Pallas
+    program serves every shard): nw from the whole-matrix estimate,
+    value mode from the whole value stream (palette feasibility on the
+    union implies it per shard).
+    """
+    from ..formats.sell8d import (SLICE_ROWS, estimate_sell8d_auto,
+                                  pack_sell8d)
+    from ..formats.sell8w import SUB, LANES, value_palette
+    if x_mode not in ("replicated", "allgather", "halo"):
+        raise ValueError(f"unknown x_mode {x_mode!r}")
+    if np.dtype(a.dtype) != np.float32:
+        raise ValueError("dist SELL-8D computes in float32; cast "
+                         "explicitly or use build_dist_plan")
+    if nw is None:
+        _t, _c, _s, nw = estimate_sell8d_auto(a, nw=None)
+    ndev = mesh.shape[axis]
+    align = SLICE_ROWS * nw
+    mr = max(-(-a.m // (ndev * align)) * align, align)
+    rowptr64 = a.rowptr.astype(np.int64)
+
+    halo = 0
+    if x_mode == "halo":
+        if a.m != a.n:
+            raise ValueError("halo mode requires a square matrix")
+        for d in range(ndev):
+            p0 = int(rowptr64[min(d * mr, a.m)])
+            p1 = int(rowptr64[min((d + 1) * mr, a.m)])
+            if p1 > p0:
+                own = a.colidx[p0:p1] // mr
+                halo = max(halo, d - int(own.min()), int(own.max()) - d)
+        halo = max(halo, 1)
+        if 2 * halo + 1 > ndev:
+            raise ValueError(
+                f"halo depth {halo} needs {2 * halo + 1} blocks > "
+                f"ndev={ndev}; reorder for locality or use 'allgather'")
+
+    # global value mode (meta bit budget depends on nw) + ONE shared code
+    # table — per-shard palettes would decode each other's codes wrongly
+    lb = nw.bit_length() - 1
+    pal_shared = None
+    gp = value_palette(np.asarray(a.vals), max_entries=64 >> lb)
+    if gp is not None:
+        force_mode = "palette"
+        pal_shared = np.asarray(gp[0][1:])   # sorted unique nonzeros, pad
+        pal_shared = pal_shared[pal_shared != 0.0]
+    else:
+        import ml_dtypes
+        v32 = np.asarray(a.vals, dtype=np.float32)
+        force_mode = ("bf16" if bool(np.array_equal(
+            v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
+            else "f32")
+
+    packs, rests = [], []
+    for d in range(ndev):
+        r0 = min(d * mr, a.m)
+        r1 = min(r0 + mr, a.m)
+        local_rowptr = np.zeros(mr + 1, dtype=np.int64)
+        if r1 > r0:
+            seg = rowptr64[r0:r1 + 1] - rowptr64[r0]
+            local_rowptr[: r1 - r0 + 1] = seg
+            local_rowptr[r1 - r0 + 1:] = seg[-1]
+        p0, p1 = int(rowptr64[r0]), int(rowptr64[r1])
+        cols_d = a.colidx[p0:p1]
+        n_local = a.n
+        if x_mode == "halo":
+            cols_d = (cols_d.astype(np.int64) - (d - halo) * mr) \
+                .astype(INT_DTYPE)
+            n_local = (2 * halo + 1) * mr
+        local = CsrMatrix(mr, n_local, local_rowptr.astype(INT_DTYPE),
+                          cols_d, np.asarray(a.vals)[p0:p1])
+        if local.nnz == 0:
+            packs.append(None)
+            continue
+        p, rest = pack_sell8d(local, max_pad_ratio=max_pad_ratio, nw=nw,
+                              force_value_mode=force_mode,
+                              palette_values=pal_shared)
+        packs.append(p)
+        if rest is not None:
+            # globalize: rows back to global ids, cols back to global
+            rrows = rest[0] + r0
+            rcols = rest[1]
+            if x_mode == "halo":
+                rcols = rcols + (d - halo) * mr
+            rests.append((rrows, rcols, rest[2]))
+
+    g = next(p.g for p in packs if p is not None)
+    nslices = mr // SLICE_ROWS
+    ntiles = max((p.ntiles for p in packs if p is not None), default=g)
+    ntiles = -(-ntiles // g) * g
+    nsteps = ntiles // g
+    if nsteps < nslices:
+        # every output block needs ≥1 zero-initializing step (real packs
+        # guarantee this via the per-slice min-G padding; enforce it for
+        # the common padded stream too)
+        nsteps = nslices
+        ntiles = nsteps * g
+    tinfo = np.zeros((ndev, ntiles), dtype=INT_DTYPE)
+    # default stream (used verbatim by EMPTY shards): visit every slice
+    # once with first=1 so all output blocks come out zero, then park on
+    # the last slice; real packs overwrite their prefix below
+    ginfo = np.full((ndev, nsteps), (nslices - 1) << 1, dtype=INT_DTYPE)
+    ginfo[:, :nslices] = (np.arange(nslices, dtype=np.int64) << 1 | 1) \
+        .astype(INT_DTYPE)
+    meta = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.int16)
+    vals = None
+    if force_mode == "f32":
+        vals = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.float32)
+    elif force_mode == "bf16":
+        import ml_dtypes
+        vals = np.zeros((ndev, ntiles, SUB, LANES),
+                        dtype=ml_dtypes.bfloat16)
+    pal = np.zeros((SUB, LANES), dtype=np.float32)
+    for d, p in enumerate(packs):
+        if p is None:
+            continue
+        tinfo[d, : p.ntiles] = p.tinfo
+        ginfo[d, : p.nsteps] = p.ginfo
+        meta[d, : p.ntiles] = p.meta
+        if vals is not None and p.vals is not None:
+            vals[d, : p.ntiles] = p.vals
+        if p.palette is not None:
+            pal = np.tile(p.palette[None, :], (SUB, 1)).astype(np.float32)
+
+    rest = None
+    if rests:
+        rest = tuple(np.concatenate([r[i] for r in rests])
+                     for i in range(3))
+
+    sh = lambda arr: _put_sharded(arr, NamedSharding(mesh, P(axis)))
+    plan = DistSell8DPlan(
+        mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
+        mr=mr, ntiles=ntiles, nsteps=nsteps, nslices=nslices, g=g, nw=nw,
+        value_mode=force_mode,
+        tinfo=sh(tinfo), ginfo=sh(ginfo), meta=sh(meta),
+        vals=(sh(vals) if vals is not None
+              else jax.device_put(np.zeros((SUB, LANES), np.float32),
+                                  NamedSharding(mesh, P()))),
+        pal=jax.device_put(pal, NamedSharding(mesh, P())),
+        x_mode=x_mode,
+        max_pad=max((p.pad_ratio for p in packs if p is not None),
+                    default=0.0),
+        rest=rest, _halo=halo,
+    )
+    plan._exec = _build_sell8d_executable(plan, interpret)
+    return plan
+
+
+def _build_sell8d_executable(plan: DistSell8DPlan, interpret: bool):
+    from ..ops.pallas_sell import _run_v2
+    mesh, axis = plan.mesh, plan.axis
+    x_sharded = plan.x_mode == "allgather"
+    halo = plan._halo if plan.x_mode == "halo" else 0
+    nsteps, nslices, n, mr = plan.nsteps, plan.nslices, plan.n, plan.mr
+    ndev, g, nw, value_mode = plan.ndev, plan.g, plan.nw, plan.value_mode
+    n_local = (2 * halo + 1) * mr if halo else n
+    palette = value_mode == "palette"
+
+    def shard_body(tinfo, ginfo, meta, vals, pal, x):
+        if x_sharded:
+            x = jax.lax.all_gather(x, axis, tiled=True)[:n]
+        elif halo:
+            xb = x[0]
+            parts = [xb]
+            fwd = xb
+            bwd = xb
+            for _ in range(halo):
+                fwd = jax.lax.ppermute(
+                    fwd, axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+                bwd = jax.lax.ppermute(
+                    bwd, axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+                parts = [fwd] + parts + [bwd]
+            x = jnp.concatenate(parts)
+        out = _run_v2(tinfo[0], ginfo[0], x, meta[0],
+                      vals if palette else vals[0], pal,
+                      g=g, value_mode=value_mode, nsteps=nsteps,
+                      nslices=nslices, n=n_local, interpret=interpret,
+                      slot_mode=True, nw=nw)
+        return out.reshape(-1)[None, :mr]
+
+    smap = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis),
+                  P() if palette else P(axis), P(),
+                  P(axis) if (x_sharded or halo) else P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(tinfo, ginfo, meta, vals, pal, x):
+        if halo:
+            x = x.reshape(ndev, -1)
+        return smap(tinfo, ginfo, meta, vals, pal, x).reshape(-1)
+
+    return run
+
+
+def dist_sell8d_spmv(plan: DistSell8DPlan, x) -> jax.Array:
+    x = jnp.asarray(x)
+    if x.shape != (plan.n,):
+        raise ValueError(f"x has shape {x.shape}, expected ({plan.n},)")
+    x_full = x
+    if plan.x_mode == "allgather":
+        n_pad = -(-plan.n // plan.ndev) * plan.ndev
+        if n_pad != plan.n:
+            x = jnp.concatenate([x, jnp.zeros(n_pad - plan.n, x.dtype)])
+        x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
+    elif plan.x_mode == "halo":
+        x = _pad_x(x, plan.n, plan.mr * plan.ndev)
+        x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
+    else:
+        x = jax.device_put(x, NamedSharding(plan.mesh, P()))
+    y = plan._exec(plan.tinfo, plan.ginfo, plan.meta, plan.vals, plan.pal,
+                   x)[: plan.m]
+    if plan.rest is not None:
+        rows, cols, vls = plan.rest
+        y = y.at[jnp.asarray(rows.astype(INT_DTYPE))].add(
+            jnp.asarray(vls) * x_full[jnp.asarray(cols.astype(INT_DTYPE))])
+    return y

@@ -160,3 +160,65 @@ def test_dist_general_halo_rejects_scatter():
     a = generate.random_uniform(512, 512, 6, seed=3)   # scattered columns
     with pytest.raises(ValueError, match="halo depth"):
         build_dist_plan(a, make_mesh_1d(8), x_mode="halo")
+
+
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather", "halo"])
+def test_dist_sell8d(x_mode):
+    # scattered structure over the mesh: the slot-mode tier distributed
+    from spmv_tpu.parallel import build_dist_sell8d_plan, dist_sell8d_spmv
+    a = generate.random_uniform(9000, 9000, 8, dtype=np.float32, seed=3)
+    mesh = make_mesh_1d(4)
+    if x_mode == "halo":
+        # uniform scatter touches every block — halo must refuse (nw=1
+        # keeps blocks small enough that the ring cannot cover them; wide
+        # bundles legitimately shrink the block count below the ring)
+        with pytest.raises(ValueError):
+            build_dist_sell8d_plan(a, mesh, x_mode=x_mode, nw=1,
+                                   interpret=True)
+        return
+    plan = build_dist_sell8d_plan(a, mesh, x_mode=x_mode, interpret=True)
+    x = generate.make_x(a.n, np.float32, kind="normal", seed=5)
+    y = np.asarray(dist_sell8d_spmv(plan, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6,
+                               err_msg=x_mode)
+
+
+def test_dist_sell8d_halo_banded_scatter():
+    # banded-support scatter (within-band random): halo rings apply
+    from spmv_tpu.parallel import build_dist_sell8d_plan, dist_sell8d_spmv
+    rng = np.random.default_rng(8)
+    m = n = 8192
+    rows = np.repeat(np.arange(m), 4)
+    cols = np.clip(rows + rng.integers(-900, 901, len(rows)), 0, n - 1)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    rowptr = np.zeros(m + 1, np.int64)
+    np.add.at(rowptr, rows + 1, 1)
+    np.cumsum(rowptr, out=rowptr)
+    vals = rng.standard_normal(len(rows)).astype(np.float32)
+    from spmv_tpu.types import CsrMatrix
+    a = CsrMatrix(m, n, rowptr, cols.astype(np.int64), vals)
+    mesh = make_mesh_1d(8)
+    plan = build_dist_sell8d_plan(a, mesh, x_mode="halo", interpret=True)
+    x = generate.make_x(a.n, np.float32, kind="normal", seed=2)
+    y = np.asarray(dist_sell8d_spmv(plan, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
+
+
+def test_dist_sell8d_uneven_and_empty_shards():
+    from spmv_tpu.parallel import build_dist_sell8d_plan, dist_sell8d_spmv
+    # m < ndev * 1024: several shards entirely empty; their output rows
+    # must come back zero-initialized, not garbage
+    a = generate.random_uniform(1700, 2600, 5, dtype=np.float32, seed=4)
+    mesh = make_mesh_1d(8)
+    plan = build_dist_sell8d_plan(a, mesh, x_mode="replicated",
+                                  interpret=True)
+    x = generate.make_x(a.n, np.float32, kind="normal", seed=1)
+    y = np.asarray(dist_sell8d_spmv(plan, x))
+    ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(abs(ref).max(), 1)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
