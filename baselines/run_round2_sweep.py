@@ -43,6 +43,8 @@ def ensure_mtx():
 
 def main():
     ensure_mtx()
+    if os.path.exists(OUT):
+        os.remove(OUT)          # the suite appends per row; start clean
     rectpath = os.path.join(os.path.dirname(__file__), "rect200k.mtx")
     if not os.path.exists(rectpath):
         write_mtx(rectpath, generate.banded(200_000, 300_000, 6,
