@@ -302,9 +302,17 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 from .formats.sell8d import (estimate_sell8d_auto,
                                              prepare_hybrid)
                 t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
-                t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
                 if spilled > 0.02 * mat.nnz:
                     t8d = 0                       # 8D alone not viable
+                if t8d and t8d * sell8w_fmt.WINDOW / mat.nnz <= 4.5:
+                    # clearly good slot-mode pack — skip the (multi-second
+                    # at 4M nnz) row-mode estimate entirely
+                    try:
+                        return _sell8d_plan(
+                            mat, {**extra, "sell8d_nw": nw})
+                    except ValueError:
+                        pass
+                t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
                 best = min(t for t in (t8w, t8d) if t) if (t8w or t8d) \
                     else 0
                 if best and best * sell8w_fmt.WINDOW / mat.nnz > 4.0:
