@@ -52,12 +52,6 @@ __all__ = ["Sell8D", "pack_sell8d", "estimate_sell8d_tiles"]
 
 SLICE_ROWS = WINDOW          # 1024 rows per deep slice = one (8,128) block
 
-#: auto depth-cap rule: spill at most this nnz fraction to the XLA path
-#: (a spilled nonzero costs ~2-7 ns on the gather floor vs ~25 ns/kB for a
-#: whole extra depth tile — trading the extreme tail is always worth it)
-AUTO_CAP_SPILL = 0.004
-
-
 def _first_of_group(keys_sorted):
     """Boolean 'starts a new group' mask for a sorted key array."""
     newg = np.empty(len(keys_sorted), dtype=bool)
@@ -170,10 +164,11 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     straggler path.  Raises ValueError when the pad gate or the spill gate
     fails.
 
-    ``depth_cap``: "auto" picks the smallest cap whose rank-tail spill is
-    under :data:`AUTO_CAP_SPILL` (the deep tail is the pad driver: one row
-    with k nonzeros in a window forces k full tiles on its pair); an int
-    pins it; None disables capping.
+    ``depth_cap``: "auto" picks the cap minimizing the calibrated cost
+    model (:func:`_cost_cap`: budget tiles vs straggler tail — the deep
+    tail is the pad driver: one row with k nonzeros in a window forces k
+    full tiles on its pair); an int pins it; None disables capping.
+    ``max_spill`` gates the realized total spill fraction.
 
     ``nw``: windows per bundle tile (1, 2, 4 or 8 — see module docstring).
     """

@@ -76,3 +76,39 @@ def test_reorder_moves_tier():
     ref = spmv_golden(a.astype(np.float64), x.astype(np.float64))
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_sell8d(seed):
+    """Random structures × bundle widths through the slot-mode pack +
+    kernel (interpret mode) — covers empty rows, mega-rows, m≠n, duplicate
+    columns within rows, tiny matrices."""
+    from spmv_tpu.formats.sell8d import pack_sell8d
+    from spmv_tpu.ops.pallas_sell import build_sell8d_fn
+
+    rng = np.random.default_rng(7000 + seed)
+    m = int(rng.integers(1, 5000))
+    n = int(rng.integers(1, 5000))
+    nnz = int(rng.integers(1, min(m * n, 20_000) + 1))
+    rows = rng.integers(0, m, size=nnz)
+    cols = rng.integers(0, n, size=nnz)
+    vals = rng.standard_normal(nnz)
+    a = CsrMatrix.from_coo(m, n, rows.astype(np.int32),
+                           cols.astype(np.int32), vals.astype(np.float32))
+    if a.nnz == 0:
+        return
+    x = rng.standard_normal(a.n).astype(np.float32)
+    ref = spmv_golden(a, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    nw = int(2 ** rng.integers(0, 4))
+    try:
+        p, rest = pack_sell8d(a, max_pad_ratio=1e9, max_spill=1.0, nw=nw)
+    except ValueError:
+        return                      # degenerate pack — gates may fire
+    fn = build_sell8d_fn(p, interpret=True)
+    y = np.asarray(fn(x)).astype(np.float64)
+    if rest is not None:
+        np.add.at(y, rest[0], rest[2].astype(np.float64) * x[rest[1]])
+    np.testing.assert_allclose(y / scale, ref / scale, atol=3e-5,
+                               err_msg=f"seed {seed} nw={nw} "
+                                       f"m={m} n={n} nnz={a.nnz}")
