@@ -28,6 +28,8 @@ REFS = {
     "clustered200k": ("reference SellCSigma x4, f64", 9.64),
     "uniform100k": ("reference Balanced x4, f64", 8.18),
     "powerlaw100k": ("reference Parallel x4, f64", 5.09),
+    # the reference's primary dtype, same matrix (double-float slot mode)
+    "uniform100k_f64": ("reference Balanced x4, f64 (own dtype)", 8.18),
 }
 
 
@@ -42,6 +44,12 @@ def _gen_one(name):
     if name == "uniform100k":
         return generate.random_uniform(100_000, 100_000, 40,
                                        dtype=np.float32, seed=42)
+    if name == "uniform100k_f64":
+        a = generate.random_uniform(100_000, 100_000, 40,
+                                    dtype=np.float32, seed=42)
+        from spmv_tpu.types import CsrMatrix
+        vals = np.random.default_rng(7).standard_normal(a.nnz)
+        return CsrMatrix(a.m, a.n, a.rowptr, a.colidx, vals)
     return generate.power_law(100_000, 100_000, 40 * 100_000,
                               dtype=np.float32, seed=2)
 
@@ -65,7 +73,8 @@ def main() -> int:
         handles[name] = create_handle(a, method=Method.AUTO)
         predeal[name] = round((time.perf_counter() - t0) * 1e3, 1)
         xs[name] = jnp.asarray(np.random.default_rng(0)
-                               .standard_normal(a.n).astype(np.float32))
+                               .standard_normal(a.n)
+                               .astype(np.asarray(a.vals).dtype))
         dims[name] = a.nnz
         del a
 

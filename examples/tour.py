@@ -18,6 +18,11 @@ import spmv_tpu as st
 from spmv_tpu.io import generate
 
 
+def jax_backend_is_cpu() -> bool:
+    import jax
+    return jax.default_backend() == "cpu"
+
+
 def main():
     # -- structures and the inspector ------------------------------------
     zoo = {
@@ -51,6 +56,30 @@ def main():
     ref64 = st.spmv_golden(a64, x64)
     print(f"f64 handle: {h64!r}  maxrel="
           f"{np.abs(y64-ref64).max()/np.abs(ref64).max():.1e}")
+
+    # -- the scattered tier: SELL-8D slot-mode bundles ---------------------
+    # (on TPU the handle routes here automatically; the format is also
+    # usable directly — interpret mode makes it CPU-runnable)
+    from spmv_tpu.formats.sell8d import (estimate_sell8d_auto, pack_sell8d,
+                                         prepare_hybrid)
+    from spmv_tpu.ops.pallas_sell import build_sell8d_fn
+    asc = zoo["scattered"]
+    tiles, cap, spilled, nw = estimate_sell8d_auto(asc, nw=None)
+    p8d, rest = pack_sell8d(asc, max_pad_ratio=60.0, nw=nw)
+    fn = build_sell8d_fn(p8d, interpret=jax_backend_is_cpu())
+    x = np.random.default_rng(3).standard_normal(asc.n).astype(np.float32)
+    y = np.asarray(fn(x))
+    if rest is not None:
+        np.add.at(y, rest[0], rest[2] * x[rest[1]])
+    ref = st.spmv_golden(asc, x)
+    print(f"sell8d nw={nw} pad={p8d.pad_ratio:.2f} mode={p8d.value_mode} "
+          f"relerr={np.abs(y-ref).max()/np.abs(ref).max():.1e}")
+    # heavy-tailed mixes split by row: heavy rows -> row mode, light -> 8D
+    prep = prepare_hybrid(generate.power_law(4000, 4000, 40_000,
+                                             dtype=np.float32, seed=3))
+    if prep is not None:
+        print(f"hybrid split: dense_frac={prep.dense_frac:.2f} "
+              f"(8W tiles {prep.td} + 8D tiles {prep.ts}, nw={prep.nw})")
 
     # -- locality reordering ----------------------------------------------
     scramble = np.random.default_rng(1).permutation(2000)

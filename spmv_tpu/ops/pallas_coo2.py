@@ -56,12 +56,15 @@ def _pass1(window_ids, x, meta, vals, *, ntiles, n, interpret=False):
         in_specs=[win_spec(k) for k in range(G1)] + [tile_spec, tile_spec],
         out_specs=tile_spec,
     )
-    out = pl.pallas_call(
-        _make_pass1_kernel(G1),
-        out_shape=jax.ShapeDtypeStruct((ntiles, SUB, LANES), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(window_ids, *([x2] * G1), meta, vals)
+    # trace with x64 off: Mosaic rejects x64-promoted indices (PERFNOTES.md)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _make_pass1_kernel(G1),
+            out_shape=jax.ShapeDtypeStruct((ntiles, SUB, LANES),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(window_ids, *([x2] * G1), meta, vals)
     return out
 
 

@@ -84,7 +84,11 @@ def _run(data3, x, *, offsets, m, n, interpret=False):
     x2 = x32.reshape(-1, LANES)
     nblocks = m_pad // blk_rows
 
-    out = pl.pallas_call(
+    # trace with x64 off: global x64 (a live f64 handle elsewhere) promotes
+    # in-kernel index math to int64, which Mosaic rejects (PERFNOTES.md)
+    import jax as _jax
+    with _jax.enable_x64(False):
+        out = pl.pallas_call(
         _make_kernel(offsets, ndiags, pad_top),
         out_shape=jax.ShapeDtypeStruct((nblocks * ROWS, LANES), jnp.float32),
         grid=(nblocks,),

@@ -115,12 +115,16 @@ def _run(window_ids, gpk, x, meta, vals, *, ntiles, nslices, n,
                                lambda t, w, g: (g[t] >> 4, 0, 0)),
     )
     args = (window_ids, gpk, x2, meta) + (() if binary else (vals,))
-    out = pl.pallas_call(
-        _kernel_binary if binary else _kernel,
-        out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(*args)
+    # jnp.take_along_axis emits int64 indices under global x64 (Mosaic
+    # rejects them); kernel internals are all 32-bit — trace with x64 off
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _kernel_binary if binary else _kernel,
+            out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(*args)
     return out
 
 
@@ -222,12 +226,16 @@ def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
         out_specs=pl.BlockSpec((1, SUB, LANES),
                                lambda t, ti, gi: (gi[t] >> 1, 0, 0)),
     )
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(tinfo, ginfo, *args)
+    # trace with x64 off: take_along_axis picks int64 indices under global
+    # x64 and Mosaic rejects them (PERFNOTES.md)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(tinfo, ginfo, *args)
     return out
 
 
@@ -325,12 +333,14 @@ def _run_v2w(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
         out_specs=pl.BlockSpec((1, SUB, LANES),
                                lambda t, ti, gi: (gi[t] >> 1, 0, 0)),
     )
-    out = pl.pallas_call(
-        _make_kernel_v2w(g, value_mode),
-        out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(tinfo, ginfo, *args)
+    with jax.enable_x64(False):     # Mosaic rejects x64-promoted indices
+        out = pl.pallas_call(
+            _make_kernel_v2w(g, value_mode),
+            out_shape=jax.ShapeDtypeStruct((ngroups, SUB, LANES),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(tinfo, ginfo, *args)
     return out
 
 
