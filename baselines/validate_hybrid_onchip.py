@@ -55,7 +55,7 @@ def main():
                                 seed=42), ref=8.18)
     run("powerlaw100k",
         generate.power_law(100_000, 100_000, 40 * 100_000,
-                           dtype=np.float32, seed=2), ref=1.18)
+                           dtype=np.float32, seed=2), ref=5.09)   # reference Parallel x4 (reference_cpu_powerlaw100k.csv)
 
 
 if __name__ == "__main__":

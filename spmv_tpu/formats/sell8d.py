@@ -60,24 +60,28 @@ def _first_of_group(keys_sorted):
     return newg
 
 
-def _rank_in_group(keys) -> np.ndarray:
+def _rank_in_group(keys, return_order: bool = False):
     """Rank of each element within its equal-key group.
 
     One stable single-key argsort when unsorted (3× faster than lexsort on
     this host, CLAUDE.md); zero sorts when the keys are already sorted (CSR
-    with per-row-sorted columns makes row·nwin+window globally sorted)."""
+    with per-row-sorted columns makes row·nwin+window globally sorted).
+    With ``return_order`` also returns the sort permutation (None when the
+    input was already sorted) so callers can reuse it instead of re-sorting
+    — the big sorts are the pack's cost center."""
     n = len(keys)
     base = np.arange(n, dtype=np.int64)
     if np.all(keys[1:] >= keys[:-1]):
         gstart = np.maximum.accumulate(
             np.where(_first_of_group(keys), base, 0))
-        return base - gstart
+        rank = base - gstart
+        return (rank, None) if return_order else rank
     order = np.argsort(keys, kind="stable")
     ks = keys[order]
     gstart = np.maximum.accumulate(np.where(_first_of_group(ks), base, 0))
     rank = np.empty(n, dtype=np.int64)
     rank[order] = base - gstart
-    return rank
+    return (rank, order) if return_order else rank
 
 
 class _SortedMembership:
@@ -185,18 +189,14 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     cols = a.colidx.astype(np.int64)
     rw = rows * nwin + (cols >> (10 + lb))
 
-    rank = _rank_in_group(rw)
+    rank, rw_order = _rank_in_group(rw, return_order=True)
     # full-set (row, bundle) group sizes and their pair ids — the cap's
-    # cost scan needs the per-pair depth maxima
-    if np.all(rw[1:] >= rw[:-1]):
-        fstarts = np.nonzero(_first_of_group(rw))[0]
-        fsizes = np.diff(np.concatenate([fstarts, [len(rw)]]))
-        rw_u = rw[fstarts]
-    else:
-        rws = np.sort(rw)
-        fstarts = np.nonzero(_first_of_group(rws))[0]
-        fsizes = np.diff(np.concatenate([fstarts, [len(rw)]]))
-        rw_u = rws[fstarts]
+    # cost scan needs the per-pair depth maxima; reuse the rank pass's
+    # sort permutation rather than re-sorting 4M keys
+    rws = rw if rw_order is None else rw[rw_order]
+    fstarts = np.nonzero(_first_of_group(rws))[0]
+    fsizes = np.diff(np.concatenate([fstarts, [len(rw)]]))
+    rw_u = rws[fstarts]
     pairg = ((rw_u // nwin) >> 10) * nwin + rw_u % nwin
     po = np.argsort(pairg, kind="stable")
     pgs = pairg[po]
@@ -565,12 +565,14 @@ def split_by_window_density(a: CsrMatrix, thresh: int = 4):
     nonzeros form the DENSE part (the SELL-8W row-mode regime — a row-
     window segment that fills tile depth), the rest the SPARSE part (the
     SELL-8D bundle regime).  Returns ``(dense, sparse, dense_frac)`` with
-    either matrix ``None`` when empty.  Powerlaw matrices split ~78/22
-    (measured powerlaw100k at thresh=4), turning a pad-19.5 single-format
-    pack into ~6.3 (8W, length-sorted) + ~9 (8D nw=8) parts.
+    either matrix ``None`` when empty.
 
-    The reference analog is Balanced2's mega-row redistribution
-    (parallel_balanced2_spmv.c:55-209) applied at window granularity.
+    NOTE: the production planner uses :func:`prepare_hybrid`'s ROW-length
+    split instead — a heavy row's scattered singles poison the slot-mode
+    layout when left behind (measured powerlaw100k: 15.5k vs 3.6k sparse
+    tiles).  This finer window-granular split is kept as a public analysis
+    tool (the reference analog is Balanced2's mega-row redistribution,
+    parallel_balanced2_spmv.c:55-209, at window granularity).
     """
     if a.nnz == 0:
         return None, None, 0.0

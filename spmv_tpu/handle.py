@@ -304,6 +304,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
                 if spilled > 0.02 * mat.nnz:
                     t8d = 0                       # 8D alone not viable
+                tried_8d = False
                 if t8d and t8d * sell8w_fmt.WINDOW / mat.nnz <= 4.5:
                     # clearly good slot-mode pack — skip the (multi-second
                     # at 4M nnz) row-mode estimate entirely
@@ -311,27 +312,34 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                         return _sell8d_plan(
                             mat, {**extra, "sell8d_nw": nw})
                     except ValueError:
-                        pass
+                        tried_8d = True     # identical retry would fail
                 t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
                 best = min(t for t in (t8w, t8d) if t) if (t8w or t8d) \
                     else 0
                 if best and best * sell8w_fmt.WINDOW / mat.nnz > 4.0:
-                    prep = ((hints or {}).get("hybrid_prep")
-                            or prepare_hybrid(mat))
+                    # the hint was prepared from the ORIGINAL matrix —
+                    # reusing it on the straggler-retry submatrix would
+                    # double-count the split-out nonzeros
+                    hint = (hints or {}).get("hybrid_prep")
+                    prep = (hint if hint is not None and mat is a
+                            else prepare_hybrid(mat))
                     if (prep is not None and prep.tiles < 0.7 * best
-                            and prep.spilled <= 0.02 * mat.nnz):
+                            and prep.spilled <= 0.02 * mat.nnz
+                            and prep.tiles * sell8w_fmt.WINDOW <= 6.7e8):
                         try:
                             pd = _sell8w_plan(prep.dense_sorted, {})
                             pd["m_rows"] = prep.dense_sorted.m
                             pd["fold_rows"] = dev(
                                 prep.fold_rows.astype(INT_DTYPE))
                             # the sub-part pad gate scales to its own nnz
-                            # (the whole-plan budget was already gated on
-                            # prep.tiles vs the full matrix)
+                            # (the whole-plan slot budget was gated above);
+                            # the HBM cap still applies per part
                             allow_s = min(
-                                96.0, max(32.0, 1.5 * prep.ts
-                                          * sell8w_fmt.WINDOW
-                                          / max(prep.sparse.nnz, 1)))
+                                96.0,
+                                max(32.0, 1.5 * prep.ts
+                                    * sell8w_fmt.WINDOW
+                                    / max(prep.sparse.nnz, 1)),
+                                6.7e8 / max(prep.sparse.nnz, 1))
                             psp = _sell8d_plan(
                                 prep.sparse,
                                 {**extra, "sell8d_nw": prep.nw,
@@ -345,7 +353,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                             }
                         except ValueError:
                             pass
-                if t8d and t8d < 0.7 * t8w:
+                if t8d and not tried_8d and t8d < 0.7 * t8w:
                     try:
                         return _sell8d_plan(
                             mat, {**extra, "sell8d_nw": nw})
@@ -445,11 +453,21 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     "pad2": packed.pad_ratio_pass2}
         except ValueError:
             if a.n <= 2_000_000:
-                alt = _build_plan(a, Method.SELL_C_SIGMA, nthreads,
-                                  vectorized, hints=hints)
-                if any(k in alt for k in ("sell8d", "sell8w", "sell8w_v2",
-                                          "sell8w_v2w", "hybrid")):
-                    return alt
+                # cheap estimate first — the recursion would otherwise
+                # build (and discard) a full XLA SELL plan with O(nnz)
+                # device transfers when the Pallas gates fail anyway
+                from .formats.sell8d import estimate_sell8d_auto
+                from .formats.sell8w import WINDOW
+                t8d, _c, sp, _w = estimate_sell8d_auto(a, nw=None)
+                if (t8d and sp <= 0.02 * a.nnz
+                        and t8d * WINDOW / a.nnz <= 32.0
+                        and t8d * WINDOW <= 6.7e8):
+                    alt = _build_plan(a, Method.SELL_C_SIGMA, nthreads,
+                                      vectorized, hints=hints)
+                    if any(k in alt for k in ("sell8d", "sell8w",
+                                              "sell8w_v2", "sell8w_v2w",
+                                              "hybrid")):
+                        return alt
             # fall through to the XLA plan
     if method == Method.SERIAL:
         return {
@@ -714,7 +732,7 @@ def create_handle(a: CsrMatrix,
             # where a global length-sort costs a whole-m inverse gather
             # per exec (~0.4 ms at 100k rows — measured comparable to the
             # hybrid's entire kernel time on powerlaw100k).
-            prep = prepare_hybrid(a) if a.n <= 2_000_000 else None
+            prep = prepare_hybrid(a)    # enclosing gate bounds a.n ≤ 2M
             if (prep is not None
                     and prep.tiles * WINDOW / a.nnz
                     <= min(32.0, 6.7e8 / a.nnz)

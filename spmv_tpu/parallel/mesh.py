@@ -829,6 +829,8 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     if np.dtype(a.dtype) != np.float32:
         raise ValueError("dist SELL-8D computes in float32; cast "
                          "explicitly or use build_dist_plan")
+    if a.nnz == 0:
+        raise ValueError("empty matrix has no SELL-8D packing")
     if nw is None:
         _t, _c, _s, nw = estimate_sell8d_auto(a, nw=None)
     ndev = mesh.shape[axis]
