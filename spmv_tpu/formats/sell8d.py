@@ -154,11 +154,104 @@ def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
     return int(d[np.argmin(cost)])
 
 
+def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
+                  force_value_mode, palette_values):
+    """Fill the value planes for a placed tile stream.
+
+    ``meta`` is the flat uint16 array (slot/cell bits already set); value
+    codes are OR'd into bits 10+lb..15.  Returns (value_mode, vals_arr,
+    vals_lo, palette, palette_lo).  Shared by the Python and native pack
+    paths — placement is value-independent, values are not.
+    """
+    vals_arr = vals_lo = palette = palette_lo = None
+    if np.dtype(vals_k.dtype) == np.float64:
+        # double-float: aligned (hi, lo) f32 planes for the EFT kernel —
+        # the placement above is value-independent, so one pass builds
+        # both (the f64 analog of sell8w's pack-twice trick)
+        uniq = np.unique(vals_k[vals_k != 0.0])
+        if len(uniq) + 1 <= (64 >> lb):
+            value_mode = "palette_df"
+            codes = np.zeros(len(vals_k), dtype=np.int16)
+            nzm = vals_k != 0.0
+            codes[nzm] = (np.searchsorted(uniq, vals_k[nzm]) + 1) \
+                .astype(np.int16)
+            palette = np.zeros(LANES, dtype=np.float32)
+            palette[1: 1 + len(uniq)] = uniq.astype(np.float32)
+            palette_lo = np.zeros(LANES, dtype=np.float32)
+            palette_lo[1: 1 + len(uniq)] = (
+                uniq - palette[1: 1 + len(uniq)].astype(np.float64)
+            ).astype(np.float32)
+            code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
+            code_plane[slot_flat] = (codes.view(np.uint16)
+                                     << np.uint16(10 + lb))
+            np.bitwise_or(meta, code_plane, out=meta)
+            del code_plane
+        else:
+            value_mode = "df"
+            vhi = vals_k.astype(np.float32)
+            vlo = (vals_k - vhi.astype(np.float64)).astype(np.float32)
+            vals_arr = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
+            vals_arr[slot_flat] = vhi
+            vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
+            vals_lo = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
+            vals_lo[slot_flat] = vlo
+            vals_lo = vals_lo.reshape(ntiles, SUB, LANES)
+    else:
+        if palette_values is not None:
+            # shared code table (multi-shard packs must decode against ONE
+            # palette): codes = position in the given sorted nonzero set
+            uniq = np.asarray(palette_values, dtype=np.float32)
+            if len(uniq) + 1 > (64 >> lb):
+                raise ValueError("shared palette exceeds the meta budget")
+            v32 = vals_k.astype(np.float32)
+            codes = np.zeros(len(vals_k), dtype=np.int16)
+            nzm = v32 != 0.0
+            pos = np.searchsorted(uniq, v32[nzm])
+            if (pos >= len(uniq)).any() or not np.array_equal(
+                    uniq[np.minimum(pos, len(uniq) - 1)], v32[nzm]):
+                raise ValueError("values outside the shared palette")
+            codes[nzm] = (pos + 1).astype(np.int16)
+            palette = np.zeros(LANES, dtype=np.float32)
+            palette[1: 1 + len(uniq)] = uniq
+            pal = (palette, codes)
+        else:
+            pal = (value_palette(vals_k, max_entries=64 >> lb)
+                   if force_value_mode in (None, "palette") else None)
+        if force_value_mode == "palette" and pal is None:
+            raise ValueError("palette value mode forced but > "
+                             f"{64 >> lb} distinct values")
+        if pal is not None:
+            palette, codes = pal
+            value_mode = "palette"
+            code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
+            code_plane[slot_flat] = (codes.view(np.uint16)
+                                     << np.uint16(10 + lb))
+            np.bitwise_or(meta, code_plane, out=meta)
+            del code_plane
+        else:
+            import ml_dtypes
+            v32 = vals_k.astype(np.float32)
+            lossless = bool(np.array_equal(
+                v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
+            if force_value_mode == "bf16" and not lossless:
+                raise ValueError("bf16 value mode forced but values are "
+                                 "not bf16-exact")
+            use_bf16 = (lossless if force_value_mode is None
+                        else force_value_mode == "bf16")
+            dt = ml_dtypes.bfloat16 if use_bf16 else np.float32
+            value_mode = "bf16" if use_bf16 else "f32"
+            vals_arr = np.zeros(ntiles * SUB * LANES, dtype=dt)
+            vals_arr[slot_flat] = v32.astype(dt)
+            vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
+    return value_mode, vals_arr, vals_lo, palette, palette_lo
+
+
 def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
                 depth_cap: Union[int, str, None] = "auto",
                 max_repair: int = 8, max_spill: float = 0.02,
                 nw: int = 1, force_value_mode: Optional[str] = None,
-                palette_values: Optional[np.ndarray] = None
+                palette_values: Optional[np.ndarray] = None,
+                use_native: bool = True
                 ) -> Tuple["Sell8D", Optional[tuple]]:
     """Pack into the slot-mode deep-slice stream.
 
@@ -184,6 +277,55 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     m, n = a.m, a.n
     nwin = max(-(-n // (WINDOW * nw)), 1)      # bundles of nw windows
     nslices = max(-(-m // SLICE_ROWS), 1)
+
+    # native fast path: the sequential greedy packer (native/spmv_native
+    # .cpp sell8d_pack) resolves the same slot/s-cell constraints in one
+    # C++ pass (~10x the numpy pipeline on this host); 'auto'/int caps
+    # only — the uncapped case stays in Python (tests use it)
+    if use_native and (depth_cap == "auto"
+                       or (isinstance(depth_cap, int) and depth_cap > 0)):
+        from ..native import pack_sell8d_native
+        nat = pack_sell8d_native(
+            m, n, a.rowptr, a.colidx, nw=nw, g=g,
+            depth_cap=-1 if depth_cap == "auto" else int(depth_cap),
+            tile_ns=_TILE_NS[nw], spill_ns=_SPILL_NS)
+        if nat is not None:
+            (tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx,
+             _cap) = nat
+            ntiles = len(tinfo)
+            nnz_kept = len(kept_idx)
+            if nnz_kept == 0:
+                raise ValueError("sell8d pack kept no nonzeros")
+            frac = len(spill_idx) / a.nnz
+            if frac > max_spill:
+                raise ValueError(f"sell8d spill fraction {frac:.3f} "
+                                 f"exceeds {max_spill}")
+            pad_ratio = ntiles * WINDOW / nnz_kept
+            if pad_ratio > max_pad_ratio:
+                raise ValueError(f"sell8d pad ratio {pad_ratio:.1f} "
+                                 f"exceeds {max_pad_ratio}")
+            vals_k = np.asarray(a.vals)[kept_idx]
+            meta_u16 = meta_flat.view(np.uint16)
+            (value_mode, vals_arr, vals_lo, palette,
+             palette_lo) = _apply_values(meta_u16, slot_flat, vals_k, lb,
+                                         ntiles, force_value_mode,
+                                         palette_values)
+            packed = Sell8D(
+                m=m, n=n, nnz_stored=nnz_kept, nslices=nslices, g=g,
+                ntiles=ntiles, nsteps=ntiles // g, value_mode=value_mode,
+                tinfo=tinfo, ginfo=ginfo,
+                meta=meta_u16.view(np.int16).reshape(ntiles, SUB, LANES),
+                vals=vals_arr, palette=palette, nw=nw,
+                vals_lo=vals_lo, palette_lo=palette_lo)
+            rest = None
+            if len(spill_idx):
+                sp_rows = (np.searchsorted(
+                    a.rowptr.astype(np.int64), spill_idx,
+                    side="right") - 1).astype(np.int64)
+                rest = (sp_rows, np.asarray(a.colidx)[spill_idx],
+                        np.asarray(a.vals)[spill_idx])
+            return packed, rest
+
     lens = a.row_lengths.astype(np.int64)
     rows = np.repeat(np.arange(m, dtype=np.int64), lens)
     cols = a.colidx.astype(np.int64)
@@ -402,86 +544,9 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     np.bitwise_or(meta, s_plane, out=meta)
     del s_plane
 
-    vals_arr = vals_lo = palette = palette_lo = None
-    if np.dtype(vals_k.dtype) == np.float64:
-        # double-float: aligned (hi, lo) f32 planes for the EFT kernel —
-        # the placement above is value-independent, so one pass builds
-        # both (the f64 analog of sell8w's pack-twice trick)
-        uniq = np.unique(vals_k[vals_k != 0.0])
-        if len(uniq) + 1 <= (64 >> lb):
-            value_mode = "palette_df"
-            codes = np.zeros(len(vals_k), dtype=np.int16)
-            nzm = vals_k != 0.0
-            codes[nzm] = (np.searchsorted(uniq, vals_k[nzm]) + 1) \
-                .astype(np.int16)
-            palette = np.zeros(LANES, dtype=np.float32)
-            palette[1: 1 + len(uniq)] = uniq.astype(np.float32)
-            palette_lo = np.zeros(LANES, dtype=np.float32)
-            palette_lo[1: 1 + len(uniq)] = (
-                uniq - palette[1: 1 + len(uniq)].astype(np.float64)
-            ).astype(np.float32)
-            code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
-            code_plane[slot_flat] = (codes.view(np.uint16)
-                                     << np.uint16(10 + lb))
-            np.bitwise_or(meta, code_plane, out=meta)
-            del code_plane
-        else:
-            value_mode = "df"
-            vhi = vals_k.astype(np.float32)
-            vlo = (vals_k - vhi.astype(np.float64)).astype(np.float32)
-            vals_arr = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
-            vals_arr[slot_flat] = vhi
-            vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
-            vals_lo = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
-            vals_lo[slot_flat] = vlo
-            vals_lo = vals_lo.reshape(ntiles, SUB, LANES)
-    else:
-        if palette_values is not None:
-            # shared code table (multi-shard packs must decode against ONE
-            # palette): codes = position in the given sorted nonzero set
-            uniq = np.asarray(palette_values, dtype=np.float32)
-            if len(uniq) + 1 > (64 >> lb):
-                raise ValueError("shared palette exceeds the meta budget")
-            v32 = vals_k.astype(np.float32)
-            codes = np.zeros(len(vals_k), dtype=np.int16)
-            nzm = v32 != 0.0
-            pos = np.searchsorted(uniq, v32[nzm])
-            if (pos >= len(uniq)).any() or not np.array_equal(
-                    uniq[np.minimum(pos, len(uniq) - 1)], v32[nzm]):
-                raise ValueError("values outside the shared palette")
-            codes[nzm] = (pos + 1).astype(np.int16)
-            palette = np.zeros(LANES, dtype=np.float32)
-            palette[1: 1 + len(uniq)] = uniq
-            pal = (palette, codes)
-        else:
-            pal = (value_palette(vals_k, max_entries=64 >> lb)
-                   if force_value_mode in (None, "palette") else None)
-        if force_value_mode == "palette" and pal is None:
-            raise ValueError("palette value mode forced but > "
-                             f"{64 >> lb} distinct values")
-        if pal is not None:
-            palette, codes = pal
-            value_mode = "palette"
-            code_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
-            code_plane[slot_flat] = (codes.view(np.uint16)
-                                     << np.uint16(10 + lb))
-            np.bitwise_or(meta, code_plane, out=meta)
-            del code_plane
-        else:
-            import ml_dtypes
-            v32 = vals_k.astype(np.float32)
-            lossless = bool(np.array_equal(
-                v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
-            if force_value_mode == "bf16" and not lossless:
-                raise ValueError("bf16 value mode forced but values are "
-                                 "not bf16-exact")
-            use_bf16 = (lossless if force_value_mode is None
-                        else force_value_mode == "bf16")
-            dt = ml_dtypes.bfloat16 if use_bf16 else np.float32
-            value_mode = "bf16" if use_bf16 else "f32"
-            vals_arr = np.zeros(ntiles * SUB * LANES, dtype=dt)
-            vals_arr[slot_flat] = v32.astype(dt)
-            vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
+    value_mode, vals_arr, vals_lo, palette, palette_lo = _apply_values(
+        meta, slot_flat, vals_k, lb, ntiles, force_value_mode,
+        palette_values)
     meta = meta.reshape(ntiles, SUB, LANES)
 
     tinfo = np.zeros(ntiles, dtype=np.int32)

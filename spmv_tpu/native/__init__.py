@@ -21,7 +21,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["load_native", "native_available", "parse_mtx",
-           "pack_sell8w_native", "coo2_place_native", "coo2_pack_all_native"]
+           "pack_sell8w_native", "coo2_place_native",
+           "coo2_pack_all_native", "pack_sell8d_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "spmv_native.cpp")
 _SO = os.path.join(os.path.dirname(__file__), "_spmv_native.so")
@@ -115,6 +116,21 @@ def load_native() -> Optional[ctypes.CDLL]:
                                                 np.int32)]
         lib.coo2_all_free.restype = None
         lib.coo2_all_free.argtypes = [c.c_void_p]
+        lib.sell8d_pack.restype = c.c_void_p
+        lib.sell8d_pack.argtypes = [
+            c.c_int64, c.c_int64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            c.c_int, c.c_int, c.c_int, c.c_double, c.c_double,
+            c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+            c.POINTER(c.c_int64), c.POINTER(c.c_int)]
+        lib.sell8d_copy.restype = None
+        lib.sell8d_copy.argtypes = [c.c_void_p] + [
+            np.ctypeslib.ndpointer(d) for d in (np.int32, np.int32,
+                                                np.int16, np.int64,
+                                                np.int64, np.int64)]
+        lib.sell8d_free.restype = None
+        lib.sell8d_free.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
 
@@ -229,3 +245,44 @@ def coo2_place_native(s_arr, r_arr, v_arr, group_w, group_lo, group_hi):
                 vals.reshape(t, 8, 128), positions)
     finally:
         lib.coo2_free(h)
+
+
+def pack_sell8d_native(m, n, rowptr, colidx, nw=1, g=16, depth_cap=-1,
+                       tile_ns=25.0, spill_ns=15.0):
+    """(tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx, cap) or
+    None if the native library is unavailable.
+
+    ``depth_cap``: -1 = auto (the cost-model rule); positive pins it.
+    Placement is a sequential greedy first-fit — a DIFFERENT (equally
+    valid) packing from the Python balanced-wrap pipeline; parity tests
+    compare reconstruction, not placement (formats/sell8d.py docstring).
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, np.int32)
+    colidx = np.ascontiguousarray(colidx, np.int32)
+    nt = ctypes.c_int64(0)
+    nk = ctypes.c_int64(0)
+    ns = ctypes.c_int64(0)
+    cap = ctypes.c_int(0)
+    h = lib.sell8d_pack(m, n, rowptr, colidx, nw, g, depth_cap,
+                        tile_ns, spill_ns, ctypes.byref(nt),
+                        ctypes.byref(nk), ctypes.byref(ns),
+                        ctypes.byref(cap))
+    if not h:
+        return None
+    try:
+        t, k, s = int(nt.value), int(nk.value), int(ns.value)
+        tinfo = np.empty(t, np.int32)
+        ginfo = np.empty(t // g, np.int32)
+        meta = np.empty(t * 8 * 128, np.int16)
+        slot_flat = np.empty(k, np.int64)
+        kept_idx = np.empty(k, np.int64)
+        spill_idx = np.empty(max(s, 1), np.int64)
+        lib.sell8d_copy(h, tinfo, ginfo, meta, slot_flat, kept_idx,
+                        spill_idx)
+        return (tinfo, ginfo, meta, slot_flat, kept_idx,
+                spill_idx[:s], int(cap.value))
+    finally:
+        lib.sell8d_free(h)

@@ -510,3 +510,307 @@ extern "C" void coo2_all_copy(void* h, int32_t* window_ids, int16_t* meta,
 extern "C" void coo2_all_free(void* h) {
   delete static_cast<Coo2AllBuffer*>(h);
 }
+
+// ---------------------------------------------------------------------------
+// SELL-8D slot-mode packer (formats/sell8d.py role): greedy sequential
+// placement with an open-addressing s-cell table.  The numpy pipeline runs
+// balanced-init + synchronized wrap-repair rounds (2.5-15 s at 4M nnz on
+// this contended host); the sequential first-fit here resolves the same
+// constraints per entry in one pass.  Placements may differ from Python's
+// (both are valid packings — parity tests compare RECONSTRUCTION, not
+// bytes).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Sell8dBuffer {
+  std::vector<int32_t> tinfo;       // (ntiles)
+  std::vector<int32_t> ginfo;       // (nsteps)
+  std::vector<int16_t> meta;        // ntiles * 1024
+  std::vector<int64_t> slot_flat;   // per kept entry
+  std::vector<int64_t> kept_idx;    // original nnz index per kept entry
+  std::vector<int64_t> spill_idx;   // original nnz index per spilled entry
+  int64_t ntiles = 0;
+  int cap = 0;
+};
+
+// open-addressing int64->int8 map (linear probe, power-of-2, key!=-1)
+struct CellMap {
+  std::vector<int64_t> keys;
+  std::vector<int8_t> vals;
+  size_t mask = 0;
+  explicit CellMap(size_t want) {
+    size_t cap = 16;
+    while (cap < want * 2) cap <<= 1;
+    keys.assign(cap, -1);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+  }
+  // returns stored value for key; inserts if absent. -1 sentinel unused.
+  inline int8_t* probe(int64_t key) {
+    size_t h = static_cast<size_t>(key * 0x9E3779B97F4A7C15ull) & mask;
+    while (true) {
+      if (keys[h] == key) return &vals[h];
+      if (keys[h] == -1) { keys[h] = key; vals[h] = -1; return &vals[h]; }
+      h = (h + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" void* sell8d_pack(
+    int64_t m, int64_t n, const int32_t* rowptr, const int32_t* colidx,
+    int nw, int g, int depth_cap /* <=0: auto */, double tile_ns,
+    double spill_ns, int64_t* out_ntiles, int64_t* out_nkept,
+    int64_t* out_nspill, int* out_cap) {
+  if (m <= 0 || n <= 0 || rowptr[m] <= 0) return nullptr;
+  const int64_t nnz = rowptr[m];
+  int lb = 0;
+  while ((1 << lb) < nw) ++lb;
+  const int64_t bcols = static_cast<int64_t>(kWindow) << lb;
+  const int64_t nb = std::max<int64_t>((n + bcols - 1) / bcols, 1);
+  const int64_t nslices = std::max<int64_t>((m + kWindow - 1) / kWindow, 1);
+
+  // --- group sizes per (row, bundle) + per-pair dmax (full set) ----------
+  // Per row: bundle counts via a small scan (columns need not be sorted);
+  // rows rarely touch more than a few hundred bundles.
+  std::vector<int64_t> dmax(static_cast<size_t>(nslices) * nb, 0);
+  std::vector<int32_t> gsize(nnz);        // group size stamped per entry
+  std::vector<int32_t> grank(nnz);        // rank within the group
+  {
+    std::vector<int32_t> cnt;             // per-row scratch: bundle -> count
+    cnt.assign(static_cast<size_t>(nb), 0);
+    std::vector<int64_t> touched;
+    for (int64_t r = 0; r < m; ++r) {
+      const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
+      if (p0 == p1) continue;
+      touched.clear();
+      for (int64_t p = p0; p < p1; ++p) {
+        const int64_t b = colidx[p] >> (10 + lb);
+        grank[p] = cnt[b]++;
+        if (grank[p] == 0) touched.push_back(b);
+      }
+      const int64_t slice = r >> 10;
+      for (int64_t b : touched) {
+        const int64_t pr = slice * nb + b;
+        if (cnt[b] > dmax[pr]) dmax[pr] = cnt[b];
+      }
+      for (int64_t p = p0; p < p1; ++p)
+        gsize[p] = cnt[colidx[p] >> (10 + lb)];
+      for (int64_t b : touched) cnt[b] = 0;
+    }
+  }
+
+  // --- cost-model depth cap (mirrors formats/sell8d.py _cost_cap) --------
+  int cap = depth_cap;
+  if (cap <= 0) {
+    int64_t smax = 0;
+    for (int64_t p = 0; p < nnz; ++p)
+      if (grank[p] == gsize[p] - 1 && gsize[p] > smax) smax = gsize[p];
+    const int64_t cm = std::min<int64_t>(smax, 1024);
+    std::vector<int64_t> hs(cm + 2, 0), hd(cm + 2, 0);
+    int64_t excess_s = 0, excess_d = 0;
+    for (int64_t p = 0; p < nnz; ++p)
+      if (grank[p] == gsize[p] - 1) {     // one hit per group
+        int64_t s = gsize[p];
+        if (s > cm + 1) { excess_s += s - (cm + 1); s = cm + 1; }
+        ++hs[s];
+      }
+    for (size_t pr = 0; pr < dmax.size(); ++pr)
+      if (dmax[pr] > 0) {
+        int64_t d = dmax[pr];
+        if (d > cm + 1) { excess_d += d - (cm + 1); d = cm + 1; }
+        ++hd[d];
+      }
+    // suffix sums
+    std::vector<int64_t> cs(cm + 3, 0), ss(cm + 3, 0), cd(cm + 3, 0),
+        sd(cm + 3, 0);
+    for (int64_t i = cm + 1; i >= 0; --i) {
+      cs[i] = cs[i + 1] + hs[i];
+      ss[i] = ss[i + 1] + hs[i] * i;
+      cd[i] = cd[i + 1] + hd[i];
+      sd[i] = sd[i + 1] + hd[i] * i;
+    }
+    const int64_t total_d = sd[0] + excess_d;
+    double best = 1e300;
+    cap = 1;
+    for (int64_t d = 1; d <= cm; ++d) {
+      const int64_t tail = (ss[d + 1] + excess_s) - d * cs[d + 1];
+      const int64_t tiles = (total_d - (sd[d + 1] + excess_d)) + d * cd[d + 1];
+      const double cost = tiles * tile_ns + tail * spill_ns;
+      if (cost < best) { best = cost; cap = static_cast<int>(d); }
+    }
+  }
+
+  // --- greedy placement ---------------------------------------------------
+  auto* buf = new Sell8dBuffer();
+  buf->cap = cap;
+  CellMap cells(static_cast<size_t>(nnz));
+  std::vector<int32_t> pair_maxd(dmax.size(), -1);   // realized max depth
+  const int64_t maxd_stride = 2 * static_cast<int64_t>(cap) + 80;
+  std::vector<int64_t> e_pair(nnz), e_depth(nnz);
+  std::vector<int8_t> e_keep(nnz, 0);
+  // per-row scratch: bundle -> index into the row's used-depth bitsets
+  std::vector<int32_t> mask_idx(static_cast<size_t>(nb), -1);
+  const int64_t mask_words = (2 * static_cast<int64_t>(cap) + 144) / 64 + 1;
+  std::vector<uint64_t> masks;          // row-local arena
+  std::vector<int64_t> touched;
+  for (int64_t r = 0; r < m; ++r) {
+    const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
+    if (p0 == p1) continue;
+    masks.clear();
+    touched.clear();
+    const int i_sub = static_cast<int>((r & 1023) >> 7);
+    for (int64_t p = p0; p < p1; ++p) {
+      if (grank[p] >= cap) continue;                // rank tail -> spill
+      const int64_t c = colidx[p];
+      const int64_t b = c >> (10 + lb);
+      const int64_t pr = (r >> 10) * nb + b;
+      const int64_t budget = std::min<int64_t>(dmax[pr], cap);
+      const int rres = static_cast<int>(c & 127);
+      const int8_t s_want = static_cast<int8_t>((c >> 7) & 7);
+      if (mask_idx[b] < 0) {
+        mask_idx[b] = static_cast<int32_t>(masks.size() / mask_words);
+        masks.resize(masks.size() + mask_words, 0);
+        touched.push_back(b);
+      }
+      uint64_t* used = &masks[static_cast<size_t>(mask_idx[b]) * mask_words];
+      int64_t d = (grank[p] + r) % budget;
+      int64_t placed = -1;
+      for (int64_t probe = 0; probe < budget; ++probe) {
+        if (!(used[d >> 6] >> (d & 63) & 1)) {
+          const int64_t key =
+              (pr * maxd_stride + d) * kWindow + i_sub * kLanes + rres;
+          int8_t* cell = cells.probe(key);
+          if (*cell == -1 || *cell == s_want) {
+            *cell = s_want;
+            placed = d;
+            break;
+          }
+        }
+        d = (d + 1) % budget;
+      }
+      if (placed < 0) {
+        // overflow levels above the budget
+        const int64_t hi = std::min<int64_t>(budget + 64, mask_words * 64);
+        for (d = budget; d < hi; ++d) {
+          if (used[d >> 6] >> (d & 63) & 1) continue;
+          const int64_t key =
+              (pr * maxd_stride + d) * kWindow + i_sub * kLanes + rres;
+          int8_t* cell = cells.probe(key);
+          if (*cell == -1 || *cell == s_want) {
+            *cell = s_want;
+            placed = d;
+            break;
+          }
+        }
+      }
+      if (placed < 0) continue;                     // pathological -> spill
+      used[placed >> 6] |= 1ull << (placed & 63);
+      e_keep[p] = 1;
+      e_pair[p] = pr;
+      e_depth[p] = placed;
+      if (placed > pair_maxd[pr]) pair_maxd[pr] = static_cast<int32_t>(placed);
+    }
+    for (int64_t b : touched) mask_idx[b] = -1;
+  }
+
+  // --- layout: per-pair runs, per-slice G padding -------------------------
+  std::vector<int64_t> slice_tiles(nslices, 0);
+  for (size_t pr = 0; pr < pair_maxd.size(); ++pr)
+    if (pair_maxd[pr] >= 0)
+      slice_tiles[pr / nb] += pair_maxd[pr] + 1;
+  std::vector<int64_t> slice_base(nslices + 1, 0);
+  int64_t ntiles = 0;
+  std::vector<int64_t> slice_padded(nslices, 0);
+  for (int64_t s = 0; s < nslices; ++s) {
+    int64_t t = ((slice_tiles[s] + g - 1) / g) * g;
+    if (t < g) t = g;
+    slice_padded[s] = t;
+    slice_base[s] = ntiles;
+    ntiles += t;
+  }
+  slice_base[nslices] = ntiles;
+  // pair base offsets within slices (pair ids ascending = slice-major)
+  std::vector<int64_t> pair_base(pair_maxd.size(), -1);
+  {
+    std::vector<int64_t> run(nslices, 0);
+    for (size_t pr = 0; pr < pair_maxd.size(); ++pr) {
+      if (pair_maxd[pr] < 0) continue;
+      const int64_t s = pr / nb;
+      pair_base[pr] = slice_base[s] + run[s];
+      run[s] += pair_maxd[pr] + 1;
+    }
+  }
+
+  buf->ntiles = ntiles;
+  buf->tinfo.assign(ntiles, 0);
+  for (size_t pr = 0; pr < pair_maxd.size(); ++pr) {
+    if (pair_maxd[pr] < 0) continue;
+    const int32_t w = static_cast<int32_t>(pr % nb) << 3;
+    for (int64_t t = 0; t <= pair_maxd[pr]; ++t)
+      buf->tinfo[pair_base[pr] + t] = w;
+  }
+  const int64_t nsteps = ntiles / g;
+  buf->ginfo.assign(nsteps, 0);
+  {
+    int64_t step = 0;
+    for (int64_t s = 0; s < nslices; ++s) {
+      const int64_t k = slice_padded[s] / g;
+      for (int64_t j = 0; j < k; ++j, ++step)
+        buf->ginfo[step] =
+            static_cast<int32_t>((s << 1) | (j == 0 ? 1 : 0));
+    }
+  }
+  buf->meta.assign(static_cast<size_t>(ntiles) * kWindow, 0);
+  buf->kept_idx.reserve(nnz);
+  buf->slot_flat.reserve(nnz);
+  for (int64_t r = 0; r < m; ++r) {
+    const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
+    const int i_sub = static_cast<int>((r & 1023) >> 7);
+    const int l_lane = static_cast<int>(r & 127);
+    for (int64_t p = p0; p < p1; ++p) {
+      if (!e_keep[p]) {
+        buf->spill_idx.push_back(p);
+        continue;
+      }
+      const int64_t c = colidx[p];
+      const int64_t tile = pair_base[e_pair[p]] + e_depth[p];
+      const int64_t base = tile * kWindow;
+      const int64_t slot = base + i_sub * kLanes + l_lane;
+      const int64_t cellp = base + i_sub * kLanes + (c & 127);
+      uint16_t slot_bits = static_cast<uint16_t>(c & 127);
+      if (lb)
+        slot_bits |= static_cast<uint16_t>(((c >> 10) & (nw - 1)) << 10);
+      buf->meta[slot] = static_cast<int16_t>(
+          static_cast<uint16_t>(buf->meta[slot]) | slot_bits);
+      buf->meta[cellp] = static_cast<int16_t>(
+          static_cast<uint16_t>(buf->meta[cellp]) |
+          static_cast<uint16_t>(((c >> 7) & 7) << 7));
+      buf->kept_idx.push_back(p);
+      buf->slot_flat.push_back(slot);
+    }
+  }
+  *out_ntiles = ntiles;
+  *out_nkept = static_cast<int64_t>(buf->kept_idx.size());
+  *out_nspill = static_cast<int64_t>(buf->spill_idx.size());
+  *out_cap = cap;
+  return buf;
+}
+
+extern "C" void sell8d_copy(void* h, int32_t* tinfo, int32_t* ginfo,
+                            int16_t* meta, int64_t* slot_flat,
+                            int64_t* kept_idx, int64_t* spill_idx) {
+  auto* buf = static_cast<Sell8dBuffer*>(h);
+  std::memcpy(tinfo, buf->tinfo.data(), buf->tinfo.size() * 4);
+  std::memcpy(ginfo, buf->ginfo.data(), buf->ginfo.size() * 4);
+  std::memcpy(meta, buf->meta.data(), buf->meta.size() * 2);
+  std::memcpy(slot_flat, buf->slot_flat.data(), buf->slot_flat.size() * 8);
+  std::memcpy(kept_idx, buf->kept_idx.data(), buf->kept_idx.size() * 8);
+  if (!buf->spill_idx.empty())
+    std::memcpy(spill_idx, buf->spill_idx.data(),
+                buf->spill_idx.size() * 8);
+}
+
+extern "C" void sell8d_free(void* h) { delete static_cast<Sell8dBuffer*>(h); }

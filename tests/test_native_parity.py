@@ -111,3 +111,47 @@ def test_python_pack_used_when_native_off():
     p = pack_sell8w(a, use_native=False)
     dense = a.to_dense().astype(np.float64)
     np.testing.assert_allclose(_reconstruct_sell8w(p), dense, rtol=1e-6)
+
+
+@pytest.mark.parametrize("nw", [1, 4])
+def test_sell8d_native_reconstruction_parity(nw):
+    """Native greedy and Python balanced-wrap packers place entries
+    DIFFERENTLY (both valid); parity = identical reconstruction.  Skipped
+    when the native library is unavailable (the fallback path is then the
+    one under test everywhere else)."""
+    from spmv_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from spmv_tpu.formats.sell8d import pack_sell8d
+    from spmv_tpu.io import generate
+    from spmv_tpu.oracle import spmv_golden
+    from spmv_tpu.ops.pallas_sell import build_sell8d_fn
+
+    a = generate.random_uniform(6000, 6000, 7, dtype=np.float32, seed=12)
+    x = np.random.default_rng(4).standard_normal(a.n).astype(np.float32)
+    ref = spmv_golden(a, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    for use_native in (True, False):
+        p, rest = pack_sell8d(a, max_pad_ratio=80.0, nw=nw,
+                              use_native=use_native)
+        fn = build_sell8d_fn(p, interpret=True)
+        y = np.asarray(fn(x)).astype(np.float64)
+        if rest is not None:
+            np.add.at(y, rest[0], rest[2].astype(np.float64) * x[rest[1]])
+        np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6,
+                                   err_msg=f"native={use_native} nw={nw}")
+
+
+def test_sell8d_native_not_worse():
+    """The greedy native pack must not blow up the tile count vs Python."""
+    from spmv_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from spmv_tpu.formats.sell8d import pack_sell8d
+    from spmv_tpu.io import generate
+    a = generate.random_uniform(9000, 9000, 8, dtype=np.float32, seed=3)
+    pn, _ = pack_sell8d(a, max_pad_ratio=80.0, nw=4, use_native=True)
+    pp, _ = pack_sell8d(a, max_pad_ratio=80.0, nw=4, use_native=False)
+    assert pn.ntiles <= pp.ntiles * 1.1
