@@ -806,6 +806,26 @@ def estimate_sell8d_auto(a: CsrMatrix, max_spill: float = 0.02,
     """
     if a.nnz == 0:
         return (0, 0, 0) if nw is not None else (0, 0, 0, 1)
+    from ..native import sell8d_stats_native
+    res = sell8d_stats_native(
+        a.m, a.n, a.rowptr, a.colidx,
+        [_TILE_NS[w] for w in (1, 2, 4, 8)], _SPILL_NS)
+    if res is not None:
+        tiles4, cap4, spill4 = res
+        if nw is not None:
+            wi = nw.bit_length() - 1
+            return int(tiles4[wi]), int(cap4[wi]), int(spill4[wi])
+        npal = palette_entry_count(a.vals)
+        best_w = None
+        for wi, w in enumerate((1, 2, 4, 8)):
+            tns = _TILE_NS[w]
+            if npal > (64 >> wi):
+                tns += _VALS_NS
+            cost = tiles4[wi] * tns + spill4[wi] * _SPILL_NS
+            if best_w is None or cost < best_w[0]:
+                best_w = (cost, wi, w)
+        _, wi, w = best_w
+        return int(tiles4[wi]), int(cap4[wi]), int(spill4[wi]), w
     choices = (nw,) if nw is not None else (1, 2, 4, 8)
     best = None
     rows = np.repeat(np.arange(a.m, dtype=np.int64),

@@ -22,7 +22,7 @@ import numpy as np
 
 __all__ = ["load_native", "native_available", "parse_mtx",
            "pack_sell8w_native", "coo2_place_native",
-           "coo2_pack_all_native", "pack_sell8d_native"]
+           "coo2_pack_all_native", "pack_sell8d_native", "sell8d_stats_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "spmv_native.cpp")
 _SO = os.path.join(os.path.dirname(__file__), "_spmv_native.so")
@@ -131,6 +131,15 @@ def load_native() -> Optional[ctypes.CDLL]:
                                                 np.int64, np.int64)]
         lib.sell8d_free.restype = None
         lib.sell8d_free.argtypes = [c.c_void_p]
+        lib.sell8d_stats.restype = None
+        lib.sell8d_stats.argtypes = [
+            c.c_int64, c.c_int64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64), c.c_double,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64)]
         _lib = lib
         return _lib
 
@@ -286,3 +295,19 @@ def pack_sell8d_native(m, n, rowptr, colidx, nw=1, g=16, depth_cap=-1,
                 spill_idx[:s], int(cap.value))
     finally:
         lib.sell8d_free(h)
+
+
+def sell8d_stats_native(m, n, rowptr, colidx, tile_ns, spill_ns):
+    """Per-nw (tiles, cap, spilled) arrays for nw = 1,2,4,8, or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, np.int32)
+    colidx = np.ascontiguousarray(colidx, np.int32)
+    t_ns = np.ascontiguousarray(tile_ns, np.float64)
+    tiles = np.empty(4, np.int64)
+    cap = np.empty(4, np.int64)
+    spill = np.empty(4, np.int64)
+    lib.sell8d_stats(m, n, rowptr, colidx, t_ns, spill_ns, tiles, cap,
+                     spill)
+    return tiles, cap, spill

@@ -814,3 +814,83 @@ extern "C" void sell8d_copy(void* h, int32_t* tinfo, int32_t* ginfo,
 }
 
 extern "C" void sell8d_free(void* h) { delete static_cast<Sell8dBuffer*>(h); }
+
+// ---------------------------------------------------------------------------
+// SELL-8D bundle-width statistics (estimate_sell8d_auto's hot loop): for
+// each nw in {1,2,4,8}, the cost-model depth cap, the budget tile count
+// Σ_pairs min(dmax, cap), and the rank-tail spill.  One pass over nnz per
+// width; no per-entry arrays.
+// ---------------------------------------------------------------------------
+extern "C" void sell8d_stats(int64_t m, int64_t n, const int32_t* rowptr,
+                             const int32_t* colidx, const double* tile_ns,
+                             double spill_ns, int64_t* out_tiles,
+                             int64_t* out_cap, int64_t* out_spill) {
+  for (int wi = 0; wi < 4; ++wi) {
+    const int lb = wi;                       // nw = 1,2,4,8
+    const int64_t bcols = static_cast<int64_t>(kWindow) << lb;
+    const int64_t nb = std::max<int64_t>((n + bcols - 1) / bcols, 1);
+    const int64_t nslices = std::max<int64_t>((m + kWindow - 1) / kWindow,
+                                              1);
+    std::vector<int32_t> dmax(static_cast<size_t>(nslices) * nb, 0);
+    // size histogram built on the fly (group sizes via per-row counters)
+    const int64_t cm = 1024;
+    std::vector<int64_t> hs(cm + 2, 0);
+    int64_t excess_s = 0;
+    {
+      std::vector<int32_t> cnt(static_cast<size_t>(nb), 0);
+      std::vector<int64_t> touched;
+      for (int64_t r = 0; r < m; ++r) {
+        const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
+        if (p0 == p1) continue;
+        touched.clear();
+        for (int64_t p = p0; p < p1; ++p) {
+          const int64_t b = colidx[p] >> (10 + lb);
+          if (cnt[b]++ == 0) touched.push_back(b);
+        }
+        const int64_t slice = r >> 10;
+        for (int64_t b : touched) {
+          const int64_t s = cnt[b];
+          const int64_t pr = slice * nb + b;
+          if (s > dmax[pr]) dmax[pr] = static_cast<int32_t>(s);
+          if (s > cm + 1) { excess_s += s - (cm + 1); ++hs[cm + 1]; }
+          else ++hs[s];
+          cnt[b] = 0;
+        }
+      }
+    }
+    std::vector<int64_t> hd(cm + 2, 0);
+    int64_t excess_d = 0;
+    for (size_t pr = 0; pr < dmax.size(); ++pr)
+      if (dmax[pr] > 0) {
+        int64_t d = dmax[pr];
+        if (d > cm + 1) { excess_d += d - (cm + 1); d = cm + 1; }
+        ++hd[d];
+      }
+    std::vector<int64_t> cs(cm + 3, 0), ss(cm + 3, 0), cd(cm + 3, 0),
+        sd(cm + 3, 0);
+    for (int64_t i = cm + 1; i >= 0; --i) {
+      cs[i] = cs[i + 1] + hs[i];
+      ss[i] = ss[i + 1] + hs[i] * i;
+      cd[i] = cd[i + 1] + hd[i];
+      sd[i] = sd[i + 1] + hd[i] * i;
+    }
+    const int64_t total_d = sd[0] + excess_d;
+    double best = 1e300;
+    int64_t bcap = 1, btiles = 0, bspill = 0;
+    for (int64_t d = 1; d <= cm; ++d) {
+      const int64_t tail = (ss[d + 1] + excess_s) - d * cs[d + 1];
+      const int64_t tiles =
+          (total_d - (sd[d + 1] + excess_d)) + d * cd[d + 1];
+      const double cost = tiles * tile_ns[wi] + tail * spill_ns;
+      if (cost < best) {
+        best = cost;
+        bcap = d;
+        btiles = tiles;
+        bspill = tail;
+      }
+    }
+    out_tiles[wi] = btiles;
+    out_cap[wi] = bcap;
+    out_spill[wi] = bspill;
+  }
+}
