@@ -2,9 +2,10 @@
 
 The reference's I/O layer and format preprocessing are native C/C++
 (src/samples/mmio_highlevel.h, src/src_spmv/*.c); this package holds the TPU
-framework's native equivalents — a fast MatrixMarket parser and the SELL-8W
-greedy packer — compiled on first use with the system toolchain (g++; the
-image has no pybind11, so the ABI is plain C + ctypes).
+framework's native equivalents — a fast MatrixMarket parser, the SELL-8W
+greedy packer, the fused COO2 pipeline, and the SELL-8D slot-mode packer +
+bundle-width stats — compiled on first use with the system toolchain (g++;
+the image has no pybind11, so the ABI is plain C + ctypes).
 
 Everything degrades gracefully: if compilation fails, callers fall back to
 the pure-Python implementations (io/mmio.py, formats/sell8w.py).
