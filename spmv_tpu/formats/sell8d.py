@@ -277,6 +277,10 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     m, n = a.m, a.n
     nwin = max(-(-n // (WINDOW * nw)), 1)      # bundles of nw windows
     nslices = max(-(-m // SLICE_ROWS), 1)
+    if nslices * nwin > (1 << 31):
+        raise ValueError(
+            f"SELL-8D pair table {nslices}x{nwin} too large — the slot "
+            "format targets n <= 2M (V2_MAX_N); use the XLA plans")
 
     # native fast path: the sequential greedy packer (native/spmv_native
     # .cpp sell8d_pack) resolves the same slot/s-cell constraints in one
