@@ -453,17 +453,30 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     "pad2": packed.pad_ratio_pass2}
         except ValueError:
             if a.n <= 2_000_000:
-                # cheap estimate first — the recursion would otherwise
+                # cheap estimates first — the recursion would otherwise
                 # build (and discard) a full XLA SELL plan with O(nnz)
                 # device transfers when the Pallas gates fail anyway
-                from .formats.sell8d import estimate_sell8d_auto
+                from .formats.sell8d import (estimate_sell8d_auto,
+                                             prepare_hybrid)
                 from .formats.sell8w import WINDOW
                 t8d, _c, sp, _w = estimate_sell8d_auto(a, nw=None)
-                if (t8d and sp <= 0.02 * a.nnz
-                        and t8d * WINDOW / a.nnz <= 32.0
-                        and t8d * WINDOW <= 6.7e8):
+                ok = (t8d and sp <= 0.02 * a.nnz
+                      and t8d * WINDOW / a.nnz <= 32.0
+                      and t8d * WINDOW <= 6.7e8)
+                sub_hints = hints
+                if not ok:
+                    # heavy-tailed scatter: the row-split hybrid may still
+                    # hold (powerlaw through Method_CSR5 lands here)
+                    prep = prepare_hybrid(a)
+                    if (prep is not None
+                            and prep.tiles * WINDOW / a.nnz <= 32.0
+                            and prep.tiles * WINDOW <= 6.7e8
+                            and prep.spilled <= 0.02 * a.nnz):
+                        ok = True
+                        sub_hints = {**(hints or {}), "hybrid_prep": prep}
+                if ok:
                     alt = _build_plan(a, Method.SELL_C_SIGMA, nthreads,
-                                      vectorized, hints=hints)
+                                      vectorized, hints=sub_hints)
                     if any(k in alt for k in ("sell8d", "sell8w",
                                               "sell8w_v2", "sell8w_v2w",
                                               "hybrid")):
