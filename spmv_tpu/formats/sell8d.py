@@ -168,8 +168,28 @@ def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
         # double-float: aligned (hi, lo) f32 planes for the EFT kernel —
         # the placement above is value-independent, so one pass builds
         # both (the f64 analog of sell8w's pack-twice trick)
-        uniq = np.unique(vals_k[vals_k != 0.0])
-        if len(uniq) + 1 <= (64 >> lb):
+        if force_value_mode not in (None, "df", "palette_df"):
+            raise ValueError(
+                f"value mode {force_value_mode!r} incompatible with f64 "
+                "input (double-float modes are 'df'/'palette_df')")
+        if palette_values is not None:
+            # shared code table across shards, f64 flavor
+            uniq = np.asarray(palette_values, dtype=np.float64)
+            if len(uniq) + 1 > (64 >> lb):
+                raise ValueError("shared palette exceeds the meta budget")
+            nzm = vals_k != 0.0
+            pos = np.searchsorted(uniq, vals_k[nzm])
+            if (pos >= len(uniq)).any() or not np.array_equal(
+                    uniq[np.minimum(pos, len(uniq) - 1)], vals_k[nzm]):
+                raise ValueError("values outside the shared palette")
+        else:
+            uniq = np.unique(vals_k[vals_k != 0.0])
+        if force_value_mode == "palette_df" and \
+                len(uniq) + 1 > (64 >> lb):
+            raise ValueError("palette_df value mode forced but > "
+                             f"{64 >> lb} distinct values")
+        if (force_value_mode != "df"
+                and len(uniq) + 1 <= (64 >> lb)):
             value_mode = "palette_df"
             codes = np.zeros(len(vals_k), dtype=np.int16)
             nzm = vals_k != 0.0
@@ -271,6 +291,7 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     """
     if a.nnz == 0:
         raise ValueError("empty matrix has no SELL-8D packing")
+    nw = int(nw)                 # numpy ints lack .bit_length()
     if nw not in (1, 2, 4, 8):
         raise ValueError(f"nw must be 1, 2, 4 or 8, got {nw}")
     lb = nw.bit_length() - 1
@@ -412,8 +433,9 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     cells.add(cs[mask_sorted], ks[o][mask_sorted])
 
     sub = np.nonzero(conflict)[0]
-    # let a bump scan the full wrap cycle (bounded: overflow absorbs rest)
-    rounds = max(max_repair, min(cap, 16) + 2)
+    # exactly max_repair wrap rounds — whatever is left goes to the
+    # overflow levels, so a small cap only trades a few extra tiles
+    rounds = max_repair
     for _ in range(rounds):
         if not len(sub):
             break
@@ -449,8 +471,8 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     # conflict, resolved by plain upward bumps.
     still = np.zeros(nk, dtype=bool)
     if len(sub):
-        ov_rank = _rank_in_group(np.sort(krw[sub]))
         osort = np.argsort(krw[sub], kind="stable")
+        ov_rank = _rank_in_group(krw[sub][osort])   # sorted → zero-sort path
         od = np.empty(len(sub), dtype=np.int64)
         od[osort] = ov_rank
         depth[sub] = kdmax[sub] + od
@@ -558,9 +580,7 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     w_of_pair = (pairs_unique % nwin).astype(np.int64)
     total_real = int(tiles_per_pair.sum())
     intra = (np.arange(total_real, dtype=np.int64)
-             - np.repeat(np.concatenate([[0],
-                                         np.cumsum(tiles_per_pair)[:-1]]),
-                         tiles_per_pair))
+             - np.repeat(run, tiles_per_pair))
     tile_ids = np.repeat(pair_base, tiles_per_pair) + intra
     tinfo[tile_ids] = (np.repeat(w_of_pair, tiles_per_pair) << 3) \
         .astype(np.int32)
@@ -759,7 +779,7 @@ def estimate_sell8d_tiles(a: CsrMatrix, depth_cap: Optional[int] = None,
     (≤ g−1 per slice)."""
     if a.nnz == 0:
         return 0
-    sizes, pw = _bundle_group_stats(a, nw.bit_length() - 1)
+    sizes, pw = _bundle_group_stats(a, int(nw).bit_length() - 1)
     if depth_cap is not None:
         sizes = np.minimum(sizes, depth_cap)
     if not np.all(pw[1:] >= pw[:-1]):
@@ -797,8 +817,7 @@ def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
     return min(len(np.unique(nz)) + 1, limit)
 
 
-def estimate_sell8d_auto(a: CsrMatrix, max_spill: float = 0.02,
-                         nw: Union[int, None] = 1):
+def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1):
     """(tiles, cap, spilled_nnz[, nw]) under the auto depth-cap rule — the
     inspector's pre-pack cost probe (mirrors pack_sell8d's cap choice).
 
@@ -817,7 +836,7 @@ def estimate_sell8d_auto(a: CsrMatrix, max_spill: float = 0.02,
     if res is not None:
         tiles4, cap4, spill4 = res
         if nw is not None:
-            wi = nw.bit_length() - 1
+            wi = int(nw).bit_length() - 1
             return int(tiles4[wi]), int(cap4[wi]), int(spill4[wi])
         npal = palette_entry_count(a.vals)
         best_w = None
@@ -830,7 +849,7 @@ def estimate_sell8d_auto(a: CsrMatrix, max_spill: float = 0.02,
                 best_w = (cost, wi, w)
         _, wi, w = best_w
         return int(tiles4[wi]), int(cap4[wi]), int(spill4[wi]), w
-    choices = (nw,) if nw is not None else (1, 2, 4, 8)
+    choices = (int(nw),) if nw is not None else (1, 2, 4, 8)
     best = None
     rows = np.repeat(np.arange(a.m, dtype=np.int64),
                      a.row_lengths.astype(np.int64))
