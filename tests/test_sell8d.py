@@ -270,3 +270,39 @@ def test_f64_palette_df():
         np.add.at(y, r[0], r[2] * x[r[1]])
     g = spmv_golden(a, x)
     assert np.abs(y - g).max() / np.abs(g).max() < 1e-5
+
+
+def test_f64_shared_palette_and_forced_modes():
+    # f64 packs must honor the shared palette (multi-shard contract) and
+    # the forced-mode error contracts (second code-review round)
+    a32 = generate.random_uniform(3000, 3000, 4, dtype=np.float32, seed=9)
+    rng = np.random.default_rng(5)
+    uniq = np.array([1.0 / 3.0, 2.0 / 3.0, 1.25])        # f32-inexact
+    vals = uniq[rng.integers(0, 3, a32.nnz)]
+    a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx, vals)
+    p, r = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05,
+                       palette_values=np.sort(uniq))
+    assert p.value_mode == "palette_df"
+    fn = build_sell8d_fn(p, interpret=True)
+    x = rng.standard_normal(a.n)
+    y = np.asarray(fn(x)).astype(np.float64)
+    y += _golden_rest(r, x, a.m)
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 1e-5
+    # values outside the shared palette must raise, not mis-code
+    with pytest.raises(ValueError):
+        pack_sell8d(a, max_pad_ratio=100.0,
+                    palette_values=np.sort(uniq)[:2])
+    # f32-only modes are incompatible with f64 input
+    with pytest.raises(ValueError):
+        pack_sell8d(a, max_pad_ratio=100.0, force_value_mode="bf16")
+    # forced palette_df with too many distinct values must raise
+    many = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx,
+                     rng.standard_normal(a32.nnz))
+    with pytest.raises(ValueError):
+        pack_sell8d(many, max_pad_ratio=100.0,
+                    force_value_mode="palette_df")
+    # forced df must use the value stream even when a palette would fit
+    p2, _ = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05,
+                        force_value_mode="df")
+    assert p2.value_mode == "df" and p2.vals_lo is not None
