@@ -79,16 +79,31 @@ def _marginal_chain_time(step, x0, iters: int) -> float:
 
 def time_spmv(spmv_fn: Callable, x0, iters: int = 10,
               repeats: int = 3) -> float:
-    """Honest s/iter for y = A@x.  ``spmv_fn`` must map (n,) -> (n,).
+    """Honest s/iter for y = A@x.
 
-    The carry renormalizes each iteration (divide by a power of two near the
-    max: exact in fp, cannot be folded, keeps values finite).
+    Square matrices carry the renormalized y as the next x (divide by a
+    power of two near the max: exact in fp, cannot be folded, keeps values
+    finite); rectangular ones keep the x shape and feed back a
+    data-dependent scalar from y, like :func:`time_spmv_chain`.
     """
-    def step(x):
-        y = spmv_fn(x)
-        scale = jnp.exp2(-jnp.ceil(jnp.log2(jnp.maximum(
-            jnp.max(jnp.abs(y)), 1e-30))))
-        return y * scale
+    rect = False
+    try:
+        rect = spmv_fn(x0).shape != x0.shape
+    except Exception:  # noqa: BLE001 — shape probing only
+        pass
+
+    if rect:
+        def step(x):
+            y = spmv_fn(x)
+            scale = jnp.exp2(-jnp.ceil(jnp.log2(jnp.maximum(
+                jnp.max(jnp.abs(y)), 1e-30))))
+            return x * scale
+    else:
+        def step(x):
+            y = spmv_fn(x)
+            scale = jnp.exp2(-jnp.ceil(jnp.log2(jnp.maximum(
+                jnp.max(jnp.abs(y)), 1e-30))))
+            return y * scale
 
     return time_op(step, x0, iters=iters, repeats=repeats)
 
