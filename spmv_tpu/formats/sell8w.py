@@ -338,19 +338,19 @@ def split_stragglers(a: CsrMatrix, min_pair: int = 12):
 def pairs_lower_bound(a: CsrMatrix) -> int:
     """Sortless lower bound on tile count: distinct (slice, window) pairs.
 
-    O(nnz) bincount — cheap enough to gate every pack call (the sort-based
-    :func:`estimate_sell8w_tiles` costs seconds at multi-M nnz on this
-    host).  Returns 0 when the pair space is too large to bincount (caller
-    falls through to the exact post-pack check).
+    O(nnz) bincount when the pair space fits; otherwise an exact sort-based
+    unique over the nnz keys (seconds at multi-M nnz, but only huge m·n
+    matrices land there — ADVICE round 2: returning 0/unknown silently
+    disabled the AUTO→CSR5 route for exactly those matrices).
     """
     if a.nnz == 0:
         return 0
     nslices = -(-a.m // LANES)
     nwin = -(-a.n // WINDOW)
-    if nslices * nwin > (1 << 28):
-        return 0
     rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
     key = (rows // LANES) * nwin + a.colidx.astype(np.int64) // WINDOW
+    if nslices * nwin > (1 << 28):
+        return len(np.unique(key))
     return int(np.count_nonzero(np.bincount(key, minlength=nslices * nwin)))
 
 

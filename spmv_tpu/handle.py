@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from .types import CsrMatrix, Method, VectorizedWay, METHOD_NAMES, INT_DTYPE
 from .formats import partition, sell as sell_fmt, dia as dia_fmt
 from .ops import xla_csr
+from .utils.backend import is_tpu as _is_tpu
 
 __all__ = [
     "SpmvHandle",
@@ -160,7 +161,11 @@ class SpmvHandle:
 
     def __repr__(self) -> str:
         extra = ""
-        if "hybrid" in self.plan:
+        if "graph" in self.plan:
+            extra = (f", pallas=graph(hub+8w+8d) "
+                     f"pad={self.plan['pad_ratio']:.2f} "
+                     f"heavy={self.plan['heavy_frac']:.2f}")
+        elif "hybrid" in self.plan:
             extra = (f", pallas=hybrid(8w+8d) "
                      f"pad={self.plan['pad_ratio']:.2f} "
                      f"dense={self.plan['dense_frac']:.2f}")
@@ -217,6 +222,15 @@ class SpmvHandle:
 # Plan builders (host-side inspection — reference *_get_handle functions)
 # --------------------------------------------------------------------------
 
+def _pad_allow(soft_cap: float, mem_cap: float, floor: float = 3.0) -> float:
+    """Pad allowance = min(soft_cap, mem_cap) with a convenience floor that
+    NEVER overrides the HBM cap: at huge nnz (mem_cap < floor) the cap wins,
+    keeping the padded tile stream under the documented ~4 GB bound
+    (ADVICE round 2: the old ``max(floor, min(soft, mem))`` let the floor
+    exceed mem_cap once nnz > ~2.2e8)."""
+    return min(max(floor, min(soft_cap, mem_cap)), mem_cap)
+
+
 def _tile_for(nnz: int, nthreads: int, method: Method) -> int:
     """Pick the equal-nnz tile length.
 
@@ -225,14 +239,109 @@ def _tile_for(nnz: int, nthreads: int, method: Method) -> int:
     machine, tiles long enough to amortize the carry pass.  Balanced2 uses
     shorter tiles so mega-rows split across more tiles.  ``nthreads`` plays
     its reference role as the requested parallelism degree: when given, the
-    plan guarantees at least that many tiles (each "thread" an equal-nnz
-    tile), like the reference's ceil(nnz/T) stride guarantees T chunks.
+    plan aims for at least that many tiles (each "thread" an equal-nnz
+    tile), like the reference's ceil(nnz/T) stride yields T chunks — best
+    effort only: tiles never shrink below 256 nnz, so matrices with
+    nnz < 256·min_tiles get fewer (a 256-nnz tile is already below the
+    device's useful dispatch granularity).
     """
     base = 4096 if method == Method.BALANCED else 1024
     min_tiles = max(64, nthreads)
     while base > 256 and nnz // base < min_tiles:
         base //= 2
     return base
+
+
+def _graph_gate(a: CsrMatrix, prep) -> bool:
+    """Viability gate for the graph-split plan (formats/graph.py): within
+    the VMEM-resident-x envelope, pad bounded (vs the XLA gather floor a
+    pad ≤ 48 is still a >5x win), spill bounded, f32 (the COO2 heavy pass
+    is f32-only)."""
+    from .ops.pallas_sell import V2_MAX_N
+    return (prep is not None
+            and np.dtype(a.dtype) == np.float32
+            and prep.n_ext <= V2_MAX_N
+            and prep.pad_ratio(a.nnz) <= min(48.0, 6.7e8 / max(a.nnz, 1))
+            and prep.spilled <= 0.02 * a.nnz)
+
+
+def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
+    """Pack the graph-split plan (hub x-extension + heavy 8W + light 8D).
+
+    Straggler remainders keep their REMAPPED column ids: the executor
+    feeds every sub-plan x_ext (whose prefix is x), so both natural and
+    hub-remapped ids index it correctly; heavy straggler ROWS are mapped
+    back to original ids through fold_rows (the serial stream adds into
+    the full-m output directly).
+    """
+    from .formats import sell8d as sell8d_fmt, sell8w as sell8w_fmt
+    dev = jax.device_put
+    mem_cap = 6.7e8 / max(a.nnz, 1)
+    g = 8 if prep.light.nnz < 500_000 else 16
+    packed, rest8d = sell8d_fmt.pack_sell8d(
+        prep.light, max_pad_ratio=_pad_allow(48.0, mem_cap),
+        nw=prep.nw, g=g)
+    light_plan: Dict[str, Any] = {
+        "sell8d": packed, "pad_ratio": packed.pad_ratio,
+        "value_mode": packed.value_mode, "nw": packed.nw,
+    }
+    plan: Dict[str, Any] = {
+        "graph": True, "light": light_plan,
+        "pad_ratio": prep.pad_ratio(a.nnz),
+        "value_mode": packed.value_mode,
+        "heavy_frac": (prep.heavy.nnz / a.nnz
+                       if prep.heavy is not None else 0.0),
+    }
+    if prep.hub_cols is not None:
+        plan["hub_cols"] = dev(prep.hub_cols.astype(INT_DTYPE))
+    rest_parts = [rest8d]
+    if prep.heavy is not None:
+        hm = prep.heavy
+        hm2, hrest, hfrac = sell8w_fmt.split_stragglers(hm)
+        if hrest is not None and hfrac <= 0.05:
+            # heavy straggler rows live in the compact+sub space — map to
+            # original row ids so the serial stream adds into y directly
+            hr_rows = prep.fold_rows[np.asarray(hrest[0])]
+            rest_parts.append((hr_rows, hrest[1], hrest[2]))
+            hm = hm2
+        packed_h = sell8w_fmt.pack_sell8w(
+            hm, max_pad_ratio=_pad_allow(48.0,
+                                         6.7e8 / max(hm.nnz, 1)))
+        v2 = sell8w_fmt.plan_v2(packed_h)
+        plan["heavy"] = {"sell8w": packed_h, "sell8w_v2": v2,
+                         "pad_ratio": packed_h.pad_ratio,
+                         "value_mode": v2.value_mode}
+        fold = prep.fold_rows
+        if len(fold) * 15.0 > 1.5 * len(np.unique(fold >> 7)) * 20.0:
+            # large fold: the XLA scatter-add floor (~15 ns/row) exceeds
+            # the fold-kernel cost — pack F (y[fold[i]] += yh[i]) as a
+            # binary SELL-8W over yh.  Heavy rows are in natural order, so
+            # F is near-diagonal: ~1 tile per slice with a heavy row; all
+            # values 1.0 → palette mode drops the value stream entirely.
+            f_mat = CsrMatrix.from_coo(
+                a.m, hm.m, fold.astype(np.int64),
+                np.arange(hm.m, dtype=np.int64),
+                np.ones(hm.m, dtype=np.float32), sum_duplicates=False)
+            packed_f = sell8w_fmt.pack_sell8w(f_mat, max_pad_ratio=1e9)
+            v2f = sell8w_fmt.plan_v2(packed_f)
+            plan["fold8w"] = {"sell8w": packed_f, "sell8w_v2": v2f,
+                              "pad_ratio": packed_f.pad_ratio,
+                              "value_mode": v2f.value_mode}
+        else:
+            plan["fold_rows"] = dev(fold.astype(INT_DTYPE))
+        if (packed.ntiles + packed_h.ntiles) * sell8w_fmt.WINDOW > 6.7e8:
+            raise ValueError("graph plan tile stream exceeds the HBM "
+                             "budget")
+    parts = [r for r in rest_parts if r is not None]
+    if parts:
+        rows_r = np.concatenate([np.asarray(r[0]) for r in parts])
+        cols_r = np.concatenate([np.asarray(r[1]) for r in parts])
+        vals_r = np.concatenate([np.asarray(r[2]) for r in parts])
+        light_plan["rest_rows"] = dev(rows_r.astype(INT_DTYPE))
+        light_plan["rest_cols"] = dev(cols_r.astype(INT_DTYPE))
+        light_plan["rest_vals"] = dev(vals_r)
+        light_plan["rest_frac"] = len(rows_r) / max(a.nnz, 1)
+    return plan
 
 
 def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
@@ -243,7 +352,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             and vectorized != VectorizedWay.NONE
             and (np.dtype(a.dtype) == np.float32
                  or (np.dtype(a.dtype) == np.float64 and a.n <= 2_000_000))
-            and jax.default_backend() == "tpu"):
+            and _is_tpu()):
         # Pallas windowed-gather kernel (ops/pallas_sell.py) — the VPU path,
         # analog of the reference's AVX2 line-product kernels.  SELL-8W
         # keeps natural row order, so it serves Method_Parallel's semantics
@@ -276,8 +385,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             # tail + s-table leftovers ride the straggler stream.
             from .formats import sell8d as sell8d_fmt
             mem_cap = 6.7e8 / max(mat.nnz, 1)
-            allow = extra.get("sell8d_allow",
-                              max(3.0, min(32.0, mem_cap)))
+            allow = extra.get("sell8d_allow", _pad_allow(32.0, mem_cap))
             nw = extra.get("sell8d_nw", 1)
             # small streams: halve the per-slice G-padding floor (G·nslices
             # minimum tiles — 1.6k of 4.7k tiles on powerlaw's light part)
@@ -289,6 +397,16 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             return _finish_rest(plan, [rest8d, extra.get("rest_host")])
 
         def _plan_windowed(mat, extra):
+            # AUTO's rescue ladder may have already prepared a graph-split
+            # plan (hub columns + heavy-row COO2, formats/graph.py) —
+            # webbase-shaped matrices where every single-format estimate
+            # explodes
+            gp = (hints or {}).get("graph_prep")
+            if gp is not None and mat is a:
+                try:
+                    return _build_graph_plan(a, gp)
+                except ValueError:
+                    pass
             # Row-mode (SELL-8W) vs slot-mode (SELL-8D) vs the density-
             # split hybrid, by estimated tile count: slot mode wins on
             # scattered structure (fewer pairs × per-row depth), row mode
@@ -384,9 +502,9 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             # padded tile stream stays under ~4 GB of HBM.
             mem_cap = 6.7e8 / max(mat.nnz, 1)
             if mat.n <= V2_MAX_N:
-                allow = max(3.0, min(32.0, mem_cap))
+                allow = _pad_allow(32.0, mem_cap)
             else:
-                allow = max(3.0, min(8.0, mem_cap))
+                allow = _pad_allow(8.0, mem_cap)
             if np.dtype(mat.dtype) == np.float64:
                 # f64 = double-float v2 kernel: the greedy placement is
                 # value-independent, so packing twice (vals = hi, vals =
@@ -433,11 +551,24 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     return _plan_windowed(a_main, {"rest_host": rest})
                 except ValueError:
                     pass
+            # Last Pallas resort: the graph split (hub columns + heavy-row
+            # COO2) — the web-graph regime where window/slot layouts all
+            # fail but hub compaction + natural-order COO2 still win
+            # (formats/graph.py; measured pad 77 → 12.6 on webbase1m).
+            if (np.dtype(a.dtype) == np.float32
+                    and (hints or {}).get("graph_prep") is None):
+                from .formats.graph import prepare_graph_split
+                gprep = prepare_graph_split(a)
+                if _graph_gate(a, gprep):
+                    try:
+                        return _build_graph_plan(a, gprep)
+                    except ValueError:
+                        pass
             # fall through to the XLA plan
     if (method == Method.CSR5
             and vectorized != VectorizedWay.NONE
             and np.dtype(a.dtype) == np.float32
-            and jax.default_backend() == "tpu"
+            and _is_tpu()
             and a.nnz > 0):
         # Two-pass COO2 Pallas path (formats/coo2.py) — the CSR5-analog
         # tiled design for matrices with moderate column scatter; when the
@@ -545,7 +676,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
         d = dia_fmt.pack_dia(a)
         if (vectorized != VectorizedWay.NONE
                 and np.dtype(a.dtype) != np.float64
-                and jax.default_backend() == "tpu"):
+                and _is_tpu()):
             # Pallas DIA: x resident in VMEM, read once (ops/pallas_dia.py);
             # falls back to the XLA shifted-stream plan out of its envelope.
             from .ops.pallas_dia import prepare_dia
@@ -607,6 +738,36 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
             fr = pd["fold_rows"]
             return lambda x: f2(x).at[fr].add(f1(x))
         return lambda x: f1(x) + f2(x)
+    if "graph" in p:
+        # hub-column x-extension + heavy-row 8W fold + light SELL-8D
+        # (formats/graph.py).  x_ext's prefix IS x, so both natural and
+        # hub-remapped column ids index it; the fold scatter-add touches
+        # only the heavy compact+sub rows (~15 ns/row, never an m-scale
+        # op).
+        light_fn = _make_bound(m, p["light"], m_rows)
+        heavy_fn = fold_fn = fr = None
+        if "heavy" in p:
+            m2 = p["heavy"]["sell8w"].m
+            heavy_fn = _make_bound(m, p["heavy"], m2)
+            if "fold8w" in p:     # large fold: binary near-diagonal kernel
+                fold_fn = _make_bound(m, p["fold8w"], m_rows)
+            else:
+                fr = p["fold_rows"]
+        hub = p.get("hub_cols")
+
+        def graph_fn(x):
+            x_ext = (jnp.concatenate([x, x[hub]]) if hub is not None
+                     else x)
+            y = light_fn(x_ext)
+            if heavy_fn is not None:
+                yh = heavy_fn(x_ext)
+                if fold_fn is not None:
+                    y = y + fold_fn(yh).astype(y.dtype)
+                else:
+                    y = y.at[fr].add(yh.astype(y.dtype))
+            return y
+
+        return graph_fn
     if "sell8d" in p or "sell8w_v2" in p or "sell8w_v2w" in p \
             or "sell8w" in p:
         if "sell8d" in p:
@@ -759,6 +920,15 @@ def create_handle(a: CsrMatrix,
                 if est <= min(32.0, 6.7e8 / a.nnz):
                     a, row_perm, resolved = (a_try, perm_try,
                                              Method.SELL_C_SIGMA)
+            if resolved == Method.BALANCED and _is_tpu():
+                # web-graph regime: hub-column split + heavy-row COO2
+                # (formats/graph.py) — the last structure the Pallas
+                # ladder can exploit before conceding the gather floor
+                from .formats.graph import prepare_graph_split
+                gprep = prepare_graph_split(a)
+                if _graph_gate(a, gprep):
+                    resolved = Method.SELL_C_SIGMA
+                    plan_hints["graph_prep"] = gprep
     if (VectorizedWay(vectorized) == VectorizedWay.MXU
             and resolved in (Method.PARALLEL, Method.SELL_C_SIGMA,
                              Method.CSR5) and a.nnz > 0):

@@ -22,6 +22,7 @@ __all__ = [
     "banded",
     "random_uniform",
     "power_law",
+    "webbase_like",
     "diag_plus_random",
     "with_empty_rows",
     "make_x",
@@ -88,6 +89,48 @@ def power_law(m: int, n: int, nnz_target: int, alpha: float = 1.8,
     vals = exact_values(rng, rows.size, dtype) if exact else \
         rng.standard_normal(rows.size).astype(dtype)
     return CsrMatrix.from_coo(m, n, rows, cols, vals)
+
+
+def webbase_like(m: int, n: int, nnz_target: int, alpha: float = 2.2,
+                 local_frac: float = 0.8, spread: int = 2048,
+                 dtype=np.float64, seed: int = 0,
+                 exact: bool = True) -> CsrMatrix:
+    """Web-graph-shaped ultra-sparse matrix (BASELINE.json config 3's
+    webbase-1M stand-in; this environment has no network egress to fetch
+    the real SuiteSparse file — see COMPARISON.md).
+
+    Mimics the structure a crawl-ordered link matrix actually has, unlike
+    a uniform-random ultra-sparse synthetic (which is adversarially
+    structureless — PERFNOTES.md "webbase-shaped" note):
+
+    * power-law out-degrees, gamma ≈ ``alpha`` (a few hub rows, a long
+      tail of 1-3 link pages);
+    * ``local_frac`` of links point near the diagonal (pages link within
+      their crawl neighborhood / domain, ±``spread``);
+    * the rest point at power-law-popular hub columns (Zipf over a fixed
+      random permutation of column ids — popular pages are arbitrary ids,
+      not low ids).
+    """
+    rng = np.random.default_rng(seed)
+    raw = rng.zipf(alpha, size=m).astype(np.float64)
+    counts = np.minimum((raw / raw.sum() * nnz_target).astype(np.int64), n)
+    counts = np.maximum(counts, 1)          # every page links somewhere
+    rows = np.repeat(np.arange(m, dtype=np.int64), counts)
+    k = rows.size
+    is_local = rng.random(k) < local_frac
+    center = (rows * n) // max(m, 1)
+    local_cols = np.clip(
+        center + rng.integers(-spread, spread + 1, size=k), 0, n - 1)
+    # hub columns: Zipf ranks mapped through a random permutation so
+    # popularity is uncorrelated with column position
+    ranks = np.minimum(rng.zipf(1.5, size=k), n) - 1
+    hub_perm = rng.permutation(n)
+    hub_cols = hub_perm[ranks]
+    cols = np.where(is_local, local_cols, hub_cols)
+    vals = exact_values(rng, k, dtype) if exact else \
+        rng.standard_normal(k).astype(dtype)
+    return CsrMatrix.from_coo(m, n, rows.astype(INT_DTYPE),
+                              cols.astype(INT_DTYPE), vals)
 
 
 def diag_plus_random(m: int, nnz_per_row: int = 8, dtype=np.float64,

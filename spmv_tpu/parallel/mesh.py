@@ -219,13 +219,17 @@ def _build_dist_plan_halo(a: CsrMatrix, mesh: Mesh, axis: str,
         .astype(INT_DTYPE)
     identity_out = bool(np.array_equal(out_index, np.arange(a.m)))
 
-    # required ring depth: max row-block distance of any shard's columns
+    # required ring depth: max row-block distance of any shard's columns,
+    # measured MODULO ndev (the ppermute rings are circular, so a
+    # cyclic-banded matrix — row 0 referencing column n-1 — is depth 1 via
+    # wrap-around, not ndev-1; ADVICE round 2)
     h = h_min
     for d in range(ndev):
         p0, p1 = int(rowptr64[splitter[d]]), int(rowptr64[splitter[d + 1]])
         if p1 > p0:
             own = owner_of[a.colidx[p0:p1]]
-            h = max(h, d - int(own.min()), int(own.max()) - d)
+            fw = (own - d) % ndev
+            h = max(h, int(np.minimum(fw, (ndev - fw) % ndev).max()))
     if 2 * h + 1 > ndev:
         raise ValueError(
             f"halo depth {h} needs {2 * h + 1} blocks > ndev={ndev}; "
@@ -252,7 +256,9 @@ def _build_dist_plan_halo(a: CsrMatrix, mesh: Mesh, axis: str,
                            np.diff(rowptr64[r0:r1 + 1]).astype(np.int64))
         np.add.at(loc_counts[d], rows_d[is_loc], 1)
         np.add.at(rem_counts[d], rows_d[~is_loc], 1)
-        local = (own - (d - h)) * mr + (cols_d - splitter[own])
+        # window position of block ``own`` in x_ext = [d-h .. d+h] blocks,
+        # ring-circular: equals own - (d - h) when no wrap occurs
+        local = ((own - d + h) % ndev) * mr + (cols_d - splitter[own])
         loc_streams.append(((cols_d - splitter[d])[is_loc],
                             vals_d[is_loc]))
         rem_streams.append((local[~is_loc], vals_d[~is_loc]))

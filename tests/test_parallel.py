@@ -156,6 +156,29 @@ def test_dist_general_halo(halo):
     np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-10, atol=1e-12)
 
 
+def test_dist_general_halo_cyclic_wraps():
+    # cyclic band: row 0 references the last columns and vice versa.  The
+    # ppermute rings are circular, so the required depth is 1 via
+    # wrap-around — a non-wrapping block distance would claim ndev-1 and
+    # refuse the build (ADVICE round 2).
+    m = 1024
+    base = generate.banded(m, m, 2, seed=4)
+    rows = np.concatenate([np.repeat(np.arange(m, dtype=np.int64),
+                                     base.row_lengths),
+                           np.arange(3), m - 1 - np.arange(3)])
+    cols = np.concatenate([base.colidx.astype(np.int64),
+                           m - 1 - np.arange(3), np.arange(3)])
+    vals = np.concatenate([base.vals, np.full(6, 0.5)])
+    from spmv_tpu.types import CsrMatrix
+    a = CsrMatrix.from_coo(m, m, rows, cols, vals)
+    mesh = make_mesh_1d(8)
+    plan = build_dist_plan(a, mesh, tile=128, x_mode="halo")
+    assert plan._halo <= 2          # wraps, instead of needing depth 7
+    x = generate.make_x(a.n, a.dtype, kind="normal", seed=2)
+    y = np.asarray(dist_spmv(plan, x))
+    np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-10, atol=1e-12)
+
+
 def test_dist_general_halo_rejects_scatter():
     a = generate.random_uniform(512, 512, 6, seed=3)   # scattered columns
     with pytest.raises(ValueError, match="halo depth"):
