@@ -117,7 +117,7 @@ class _SortedMembership:
 
 
 def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
-              nw: int) -> int:
+              nw: int, tile_ns: Optional[float] = None) -> int:
     """Depth cap minimizing the measured cost model over candidate caps:
 
         cost(d) = tiles(d)·TILE_NS  +  tail(d)·SPILL_NS
@@ -150,7 +150,8 @@ def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
     total_d = sum_d_ge[0]
     tiles = (total_d - suffix(sum_d_ge, d + 1)) + d * suffix(cnt_d_ge,
                                                             d + 1)
-    cost = tiles * _TILE_NS[nw] + tail * _SPILL_NS
+    cost = tiles * (_TILE_NS[nw] if tile_ns is None else tile_ns) \
+        + tail * _SPILL_NS
     return int(d[np.argmin(cost)])
 
 
@@ -298,22 +299,27 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     m, n = a.m, a.n
     nwin = max(-(-n // (WINDOW * nw)), 1)      # bundles of nw windows
     nslices = max(-(-m // SLICE_ROWS), 1)
-    if nslices * nwin > (1 << 31):
+    if nslices * nwin > (1 << 50):
+        # int64 cell-key space: (pair·md)·WINDOW must not overflow
         raise ValueError(
-            f"SELL-8D pair table {nslices}x{nwin} too large — the slot "
-            "format targets n <= 2M (V2_MAX_N); use the XLA plans")
+            f"SELL-8D pair space {nslices}x{nwin} overflows the packer's "
+            "key space; use the XLA plans")
 
     # native fast path: the sequential greedy packer (native/spmv_native
     # .cpp sell8d_pack) resolves the same slot/s-cell constraints in one
     # C++ pass (~10x the numpy pipeline on this host); 'auto'/int caps
-    # only — the uncapped case stays in Python (tests use it)
-    if use_native and (depth_cap == "auto"
-                       or (isinstance(depth_cap, int) and depth_cap > 0)):
+    # only — the uncapped case stays in Python (tests use it).  The native
+    # packer allocates a DENSE (slice, bundle) table — skip it when that
+    # table would exceed ~2 GB (huge m·n; the numpy path is sparse).
+    if use_native and nslices * nwin <= (1 << 28) \
+            and (depth_cap == "auto"
+                 or (isinstance(depth_cap, int) and depth_cap > 0)):
         from ..native import pack_sell8d_native
         nat = pack_sell8d_native(
             m, n, a.rowptr, a.colidx, nw=nw, g=g,
             depth_cap=-1 if depth_cap == "auto" else int(depth_cap),
-            tile_ns=_TILE_NS[nw], spill_ns=_SPILL_NS)
+            tile_ns=(_TILE_NS_W if n > _V2_MAX_N else _TILE_NS)[nw],
+            spill_ns=_SPILL_NS)
         if nat is not None:
             (tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx,
              _cap) = nat
@@ -372,7 +378,9 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     dmax_all = np.maximum.reduceat(fsizes[po], pstarts_f)
 
     if depth_cap == "auto":
-        cap = _cost_cap(fsizes, dmax_all, nw)
+        cap = _cost_cap(
+            fsizes, dmax_all, nw,
+            tile_ns=(_TILE_NS_W if n > _V2_MAX_N else _TILE_NS)[nw])
     elif depth_cap is None:
         cap = int(rank.max()) + 1
     else:
@@ -761,7 +769,8 @@ def prepare_hybrid(a: CsrMatrix,
         light = CsrMatrix(a.m, a.n, rp_l, colidx[~mask], vals[~mask])
         td = estimate_sell8w_tiles(dense_sorted)
         ts, _cap, spilled, nw = estimate_sell8d_auto(light, nw=None)
-        cost = (td * _TILE_NS[1] + ts * _TILE_NS[nw]
+        ts_tab = _TILE_NS_W if a.n > _V2_MAX_N else _TILE_NS
+        cost = (td * _TILE_NS[1] + ts * ts_tab[nw]
                 + spilled * _SPILL_NS)
         if best is None or cost < best[0]:
             best = (cost, HybridPrep(
@@ -794,6 +803,13 @@ def estimate_sell8d_tiles(a: CsrMatrix, depth_cap: Optional[int] = None,
 #: measured 20.1 / 20.3 / 26.9 / 28.5 for nw = 1/2/4/8 — the extra
 #: in-tile gathers are nearly free until nw=4
 _TILE_NS = {1: 20.0, 2: 21.0, 4: 27.0, 8: 29.0}
+#: windowed-DMA regime (n > V2_MAX_N, x not VMEM-resident): each tile adds
+#: an nw·4 KB x-window DMA (~27 ns/window at ~150 GB/s stream rate) on top
+#: of the resident-mode cost — wider bundles get expensive fast here
+_TILE_NS_W = {1: 47.0, 2: 74.0, 4: 128.0, 8: 236.0}
+#: mirror of ops/pallas_sell.V2_MAX_N (kept host-side: formats must not
+#: import the kernel module; equality pinned by tests/test_sell8d.py)
+_V2_MAX_N = 2_000_000
 #: XLA straggler cost per spilled nnz — measured through the handle:
 #: 51k spilled cost 0.79 ms (gather + segment-sum floor)
 _SPILL_NS = 15.0
@@ -817,7 +833,8 @@ def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
     return min(len(np.unique(nz)) + 1, limit)
 
 
-def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1):
+def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
+                         windowed: Optional[bool] = None):
     """(tiles, cap, spilled_nnz[, nw]) under the auto depth-cap rule — the
     inspector's pre-pack cost probe (mirrors pack_sell8d's cap choice).
 
@@ -826,13 +843,24 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1):
     shrink the value palette to 64 >> log2(nw) entries — infeasible
     palettes pay a bf16 value stream instead) and returns the 4-tuple
     including the best nw.
+
+    ``windowed`` switches to the windowed-DMA cost table (auto: when n
+    exceeds the VMEM-resident-x envelope) — there wider bundles pay a
+    real nw·4 KB DMA per tile, so the chooser leans narrow.
     """
     if a.nnz == 0:
         return (0, 0, 0) if nw is not None else (0, 0, 0, 1)
-    from ..native import sell8d_stats_native
-    res = sell8d_stats_native(
-        a.m, a.n, a.rowptr, a.colidx,
-        [_TILE_NS[w] for w in (1, 2, 4, 8)], _SPILL_NS)
+    if windowed is None:
+        windowed = a.n > _V2_MAX_N
+    _tns = _TILE_NS_W if windowed else _TILE_NS
+    res = None
+    if (max(-(-a.m // SLICE_ROWS), 1)
+            * max(-(-a.n // WINDOW), 1)) <= (1 << 28):
+        # the native stats pass allocates a dense (slice, bundle) table
+        from ..native import sell8d_stats_native
+        res = sell8d_stats_native(
+            a.m, a.n, a.rowptr, a.colidx,
+            [_tns[w] for w in (1, 2, 4, 8)], _SPILL_NS)
     if res is not None:
         tiles4, cap4, spill4 = res
         if nw is not None:
@@ -841,7 +869,7 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1):
         npal = palette_entry_count(a.vals)
         best_w = None
         for wi, w in enumerate((1, 2, 4, 8)):
-            tns = _TILE_NS[w]
+            tns = _tns[w]
             if npal > (64 >> wi):
                 tns += _VALS_NS
             cost = tiles4[wi] * tns + spill4[wi] * _SPILL_NS
@@ -861,11 +889,11 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1):
             pw, sizes = pw[o], sizes[o]
         pstarts = np.nonzero(_first_of_group(pw))[0]
         dmax = np.maximum.reduceat(sizes, pstarts)
-        cap = _cost_cap(sizes, dmax, w)
+        cap = _cost_cap(sizes, dmax, w, tile_ns=_tns[w])
         capped = np.minimum(sizes, cap)
         spilled = int((sizes - capped).sum())
         tiles = int(np.minimum(dmax, cap).sum())
-        tile_ns = _TILE_NS[w]
+        tile_ns = _tns[w]
         if nw is None and npal > (64 >> (w.bit_length() - 1)):
             tile_ns += _VALS_NS
         cost = tiles * tile_ns + spilled * _SPILL_NS

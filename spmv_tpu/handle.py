@@ -350,8 +350,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
     dev = jax.device_put
     if (method in (Method.SELL_C_SIGMA, Method.PARALLEL)
             and vectorized != VectorizedWay.NONE
-            and (np.dtype(a.dtype) == np.float32
-                 or (np.dtype(a.dtype) == np.float64 and a.n <= 2_000_000))
+            and np.dtype(a.dtype) in (np.dtype(np.float32),
+                                      np.dtype(np.float64))
             and _is_tpu()):
         # Pallas windowed-gather kernel (ops/pallas_sell.py) — the VPU path,
         # analog of the reference's AVX2 line-product kernels.  SELL-8W
@@ -414,9 +414,11 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             # uniform100k 19.6 → 3.7), and the hybrid on heavy-tailed +
             # scattered mixes (powerlaw: dense row-window segments to row
             # mode, the light remainder to wide 8D bundles).
-            if (mat.n <= V2_MAX_N
-                    and np.dtype(mat.dtype) in (np.dtype(np.float32),
-                                                np.dtype(np.float64))):
+            # slot-mode routes now cover any n: past V2_MAX_N the windowed
+            # slot kernels take over (the estimators auto-switch to the
+            # DMA-aware cost table, formats/sell8d.py _TILE_NS_W)
+            if np.dtype(mat.dtype) in (np.dtype(np.float32),
+                                       np.dtype(np.float64)):
                 from .formats.sell8d import (estimate_sell8d_auto,
                                              prepare_hybrid)
                 t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
@@ -516,8 +518,10 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     CsrMatrix(mat.m, mat.n, mat.rowptr, mat.colidx,
                               (mat.vals - hi_back).astype(np.float32)))
                 v2 = sell8w_fmt.plan_v2(hi, lo_tiles=lo.vals)
+                v2_key = ("sell8w_v2" if mat.n <= V2_MAX_N
+                          else "sell8w_v2w")   # windowed df past VMEM-x
                 plan = {"sell8w": hi, "pad_ratio": hi.pad_ratio,
-                        "sell8w_v2": v2, "value_mode": v2.value_mode}
+                        v2_key: v2, "value_mode": v2.value_mode}
                 extra = dict(extra)
                 rest_host = extra.pop("rest_host", None)
                 plan.update(extra)
@@ -674,10 +678,9 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 f"DIA unprofitable: {ndiags} diagonals at fill {fill:.3f} "
                 f"(would stream {ndiags * a.m * 4 / 1e6:.0f} MB per exec)")
         d = dia_fmt.pack_dia(a)
-        if (vectorized != VectorizedWay.NONE
-                and np.dtype(a.dtype) != np.float64
-                and _is_tpu()):
+        if vectorized != VectorizedWay.NONE and _is_tpu():
             # Pallas DIA: x resident in VMEM, read once (ops/pallas_dia.py);
+            # f64 routes to the double-float EFT variant (hi/lo planes);
             # falls back to the XLA shifted-stream plan out of its envelope.
             from .ops.pallas_dia import prepare_dia
             try:
@@ -887,7 +890,7 @@ def create_handle(a: CsrMatrix,
         from .inspector import choose_method
         resolved = choose_method(a)
         if (resolved == Method.BALANCED and perm is None
-                and 10_000 <= a.nnz and a.n <= 2_000_000):
+                and 10_000 <= a.nnz and a.n <= 20_000_000):
             # Last-resort locality: heavy-tailed matrices land here only
             # because mega-rows explode the SELL-8W pad estimate (one lane
             # per row).  The σ-sort taken global (length_order) clusters

@@ -138,6 +138,10 @@ def _decide(f) -> Method:
     if (f("n") <= 2_000_000
             and f("sell8w_pad") <= min(32.0, 6.7e8 / max(f("nnz"), 1))):
         return Method.SELL_C_SIGMA
+    # Past VMEM residency the windowed-DMA kernels serve any n, but each
+    # tile pays a ~4 KB x-window DMA — only worth it at modest padding.
+    if f("sell8w_pad") <= min(8.0, 6.7e8 / max(f("nnz"), 1)):
+        return Method.SELL_C_SIGMA
     if f("sell_pad_ratio") <= 1.6:
         return Method.SELL_C_SIGMA
     # Heavy skew / mega-rows: exact-nnz scan handles any distribution.
@@ -200,8 +204,17 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
     return _decide(lazy)
 
 
+def _tune_cache_path(mtx_token: str) -> str:
+    import os
+    d = os.environ.get("SPMV_TPU_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "spmv_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"tune_{mtx_token}.json")
+
+
 def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
-         x=None, verbose: bool = False):
+         x=None, verbose: bool = False, mtx_token: str = None):
     """Measurement-based auto-tuner: build each candidate handle, time it
     honestly, return (best_handle, results).
 
@@ -213,16 +226,38 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
     seconds of tuning amortize (the same trade the reference's per-method
     pre-deal times embody, e.g. 51s SELL pack for 100 iterations).
 
-    ``results`` is a dict method-name -> seconds/iteration (inf on failure).
+    ``mtx_token`` caches the tuned winner on disk keyed by the matrix
+    token — the spirit of the reference's partition cache
+    (HyperGraphInterface.cpp:22-57): the second call skips the sweep and
+    builds only the winning handle.
+
+    ``results`` is a dict method-name -> seconds/iteration (inf on failure,
+    or the cached winner's recorded time on a cache hit).
     """
+    import json
+    import os
+
     import jax.numpy as jnp
     from .handle import create_handle
     from .bench.timing import time_spmv_chain
     from .types import METHOD_NAMES
 
+    if mtx_token:
+        path = _tune_cache_path(mtx_token)
+        if os.path.exists(path):
+            with open(path) as f:
+                rec = json.load(f)
+            h = create_handle(a, method=Method(rec["method"]))
+            return h, {METHOD_NAMES[h.method]: rec.get("seconds",
+                                                       float("nan"))}
+
     if methods is None:
+        # every distinct execution plan, CSR5 (the COO2/8D scattered
+        # workhorse AUTO itself prefers for moderate scatter) and
+        # BALANCED2 included (VERDICT round-2 item 8)
         methods = [Method.DIA, Method.BCSR, Method.SELL_C_SIGMA,
-                   Method.BALANCED, Method.SERIAL]
+                   Method.CSR5, Method.BALANCED2, Method.BALANCED,
+                   Method.SERIAL]
     if x is None:
         x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
     xj = jnp.asarray(x)
@@ -244,7 +279,10 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
         if verbose:
             print(f"tune: {name}: {dt*1e3:.3f} ms/iter")
         if best is None or dt < best[0]:
-            best = (dt, h)
+            best = (dt, h, Method(method))
     if best is None:
         raise RuntimeError("tune: every candidate method failed")
+    if mtx_token:
+        with open(_tune_cache_path(mtx_token), "w") as f:
+            json.dump({"method": int(best[2]), "seconds": best[0]}, f)
     return best[1], results

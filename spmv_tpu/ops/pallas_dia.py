@@ -36,6 +36,7 @@ MAX_DIAGS = 33
 MAX_N = 3_000_000       # x2 resident in VMEM; measured at 4M rows the
                         # 32 MB residency hurts pipelining (0.84x vs the
                         # XLA plan) — larger n stays on the XLA path
+MAX_N_DF = 1_500_000    # double-float keeps TWO x planes resident
 
 
 def _make_kernel(offsets, ndiags, pad_top):
@@ -103,23 +104,120 @@ def _run(data3, x, *, offsets, m, n, interpret=False):
     return out.reshape(-1)[:m]
 
 
+def _make_kernel_df(offsets, pad_top):
+    """Double-float (f64 ≈ hi/lo f32) DIA body — the f64 banded tier.
+
+    The reference is f64-first (include/spmv.h:49); the XLA f64 DIA plan
+    re-reads a shifted f64 x per diagonal.  This kernel keeps BOTH hi/lo
+    x planes resident in VMEM (read once) and accumulates with error-free
+    transforms (same EFT toolkit as the SELL df kernels,
+    ops/pallas_sell.py — Mosaic preserves IEEE evaluation order)."""
+    from .pallas_sell import _two_sum, _two_product
+    qr = [divmod(int(o), LANES) for o in offsets]
+
+    def kernel(xhi_ref, xlo_ref, dhi_ref, dlo_ref, ohi_ref, olo_ref):
+        blk = pl.program_id(0)
+        acchi = jnp.zeros((ROWS, LANES), jnp.float32)
+        acclo = jnp.zeros((ROWS, LANES), jnp.float32)
+        for k, (q, r) in enumerate(qr):
+            start = blk * ROWS + q + pad_top
+
+            def shifted(x_ref, _r=r, _start=start):
+                base = x_ref[pl.ds(_start, ROWS), :]
+                if _r == 0:
+                    return base
+                base2 = x_ref[pl.ds(_start + 1, ROWS), :]
+                rolled = pltpu.roll(base, LANES - _r, 1)
+                rolled2 = pltpu.roll(base2, LANES - _r, 1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES),
+                                                1)
+                return jnp.where(lane < LANES - _r, rolled, rolled2)
+
+            xh = shifted(xhi_ref)
+            xl = shifted(xlo_ref)
+            vh = dhi_ref[k]
+            vl = dlo_ref[k]
+            ph, pe = _two_product(vh, xh)
+            plo = pe + vh * xl + vl * xh
+            acchi, e = _two_sum(acchi, ph)
+            acclo = acclo + e + plo
+        ohi_ref[:] = acchi
+        olo_ref[:] = acclo
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "m", "n", "interpret"))
+def _run_df(dhi3, dlo3, x, *, offsets, m, n, interpret=False):
+    ndiags = len(offsets)
+    blk_rows = ROWS * LANES
+    m_pad = -(-m // blk_rows) * blk_rows
+    q_min = min(o // LANES for o in offsets)
+    q_max = max(o // LANES for o in offsets)
+    pad_top = max(0, -q_min)
+    s_min = m_pad // LANES + max(q_max, 0) + 2
+    n_pad = max(-(-n // LANES), s_min) * LANES
+    xhi = x.astype(jnp.float32)
+    xlo = (x - xhi.astype(x.dtype)).astype(jnp.float32)
+
+    def plane(v):
+        return jnp.concatenate(
+            [jnp.zeros(pad_top * LANES, jnp.float32), v,
+             jnp.zeros(n_pad - n, jnp.float32)]).reshape(-1, LANES)
+
+    x2hi, x2lo = plane(xhi), plane(xlo)
+    nblocks = m_pad // blk_rows
+    with jax.enable_x64(False):   # Mosaic rejects x64-promoted index math
+        ohi, olo = pl.pallas_call(
+            _make_kernel_df(offsets, pad_top),
+            out_shape=[jax.ShapeDtypeStruct((nblocks * ROWS, LANES),
+                                            jnp.float32)] * 2,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((ndiags, ROWS, LANES), lambda b: (0, b, 0)),
+                pl.BlockSpec((ndiags, ROWS, LANES), lambda b: (0, b, 0)),
+            ],
+            out_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, 0))] * 2,
+            interpret=interpret,
+        )(x2hi, x2lo, dhi3, dlo3)
+    y = ohi.astype(jnp.float64) + olo.astype(jnp.float64)
+    return y.reshape(-1)[:m]
+
+
 def prepare_dia(dia):
     """Device-side plan parts for :func:`build_dia_fn_from_parts`.
 
     Raises ValueError when out of the kernel's envelope.  The VMEM
     residency scales with the PADDED x2 (which covers both n and the row
-    extent m), so both dimensions gate.
+    extent m), so both dimensions gate; f64 input selects the double-float
+    kernel (two resident planes → tighter n bound).
     """
     import numpy as np
     offsets = tuple(int(o) for o in dia.offsets)
     if len(offsets) == 0 or len(offsets) > MAX_DIAGS:
         raise ValueError(f"pallas DIA: ndiags {len(offsets)} out of range")
-    if max(dia.m, dia.n) > MAX_N:
+    df = np.dtype(dia.data.dtype) == np.float64
+    max_n = MAX_N_DF if df else MAX_N
+    if max(dia.m, dia.n) > max_n:
         raise ValueError(
             f"pallas DIA: padded x2 for m={dia.m}, n={dia.n} exceeds the "
-            f"VMEM budget (limit {MAX_N})")
+            f"VMEM budget (limit {max_n})")
     blk_rows = ROWS * LANES
     m_pad = -(-dia.m // blk_rows) * blk_rows
+    if df:
+        hi = dia.data.astype(np.float32)
+        lo = (dia.data - hi.astype(np.float64)).astype(np.float32)
+        dhi = np.zeros((len(offsets), m_pad), dtype=np.float32)
+        dlo = np.zeros((len(offsets), m_pad), dtype=np.float32)
+        dhi[:, : dia.m] = hi
+        dlo[:, : dia.m] = lo
+        return {"data3": jnp.asarray(dhi.reshape(len(offsets), -1, LANES)),
+                "data3_lo": jnp.asarray(dlo.reshape(len(offsets), -1,
+                                                    LANES)),
+                "offsets": offsets, "m": dia.m, "n": dia.n}
     data = np.zeros((len(offsets), m_pad), dtype=dia.data.dtype)
     data[:, : dia.m] = dia.data
     data3 = jnp.asarray(data.reshape(len(offsets), -1, LANES))
@@ -129,6 +227,14 @@ def prepare_dia(dia):
 def build_dia_fn_from_parts(parts, interpret: bool = False):
     data3, offsets = parts["data3"], parts["offsets"]
     m, n = parts["m"], parts["n"]
+    if "data3_lo" in parts:          # double-float f64 plan
+        dlo3 = parts["data3_lo"]
+
+        def fn_df(x):
+            return _run_df(data3, dlo3, x, offsets=offsets, m=m, n=n,
+                           interpret=interpret)
+
+        return fn_df
 
     def fn(x):
         return _run(data3, x, offsets=offsets, m=m, n=n,
