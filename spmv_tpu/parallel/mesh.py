@@ -614,9 +614,11 @@ class DistSell8WPlan:
     window_ids: jax.Array       # (ndev, ntiles) sharded
     gpk: jax.Array              # (ndev, ntiles)
     meta: jax.Array             # (ndev, ntiles, 8, 128)
-    vals: jax.Array             # (ndev, ntiles, 8, 128)
+    vals: jax.Array             # (ndev, ntiles, 8, 128) — hi plane for f64
     x_mode: str
     max_pad: float = 0.0
+    #: f64 double-float low plane (None for f32 plans)
+    vals_lo: Optional[jax.Array] = None
     _exec: object = None
 
     def __call__(self, x) -> jax.Array:
@@ -630,11 +632,12 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     from ..formats.sell8w import pack_sell8w, SUB, LANES
     if x_mode not in ("replicated", "allgather", "halo"):
         raise ValueError(f"unknown x_mode {x_mode!r}")
-    if np.dtype(a.dtype) != np.float32:
+    df = np.dtype(a.dtype) == np.float64
+    if not df and np.dtype(a.dtype) != np.float32:
         raise ValueError(
-            "dist SELL-8W computes in float32 (the Pallas kernel's dtype); "
+            "dist SELL-8W computes in float32 or double-float f64; "
             f"got {np.dtype(a.dtype)} — cast explicitly or use "
-            "build_dist_plan for full-precision execution")
+            "build_dist_plan")
     ndev = mesh.shape[axis]
     mr = max(-(-a.m // (ndev * LANES)) * LANES, LANES)
     rowptr64 = a.rowptr.astype(np.int64)
@@ -674,23 +677,42 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
             cols_d = (cols_d.astype(np.int64) - (d - halo) * mr) \
                 .astype(INT_DTYPE)
             n_local = (2 * halo + 1) * mr
+        vals_d = a.vals[p0:p1]
+        if df:
+            # double-float: pack twice (hi, lo) — placement is
+            # value-independent, so the tile layouts are slot-aligned
+            # (the single-device f64 trick, handle._sell8w_plan)
+            hi_v = vals_d.astype(np.float32)
+            lo_v = (vals_d - hi_v.astype(np.float64)).astype(np.float32)
+            local = CsrMatrix(mr, n_local,
+                              local_rowptr.astype(INT_DTYPE), cols_d, hi_v)
+            p_hi = pack_sell8w(local, max_pad_ratio=max_pad_ratio)
+            p_lo = pack_sell8w(CsrMatrix(
+                mr, n_local, local_rowptr.astype(INT_DTYPE), cols_d, lo_v))
+            packs.append((p_hi, p_lo.vals))
+            continue
         local = CsrMatrix(mr, n_local, local_rowptr.astype(INT_DTYPE),
-                          cols_d, a.vals[p0:p1])
-        packs.append(pack_sell8w(local, max_pad_ratio=max_pad_ratio))
+                          cols_d, vals_d)
+        packs.append((pack_sell8w(local, max_pad_ratio=max_pad_ratio),
+                      None))
 
-    ntiles = max(p.ntiles for p in packs)
+    ntiles = max(p.ntiles for p, _ in packs)
     nslices = mr // LANES
     ngroups = -(-nslices // SUB)
     win = np.zeros((ndev, ntiles), dtype=INT_DTYPE)
     gpk = np.zeros((ndev, ntiles), dtype=INT_DTYPE)
     meta = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.int16)
     vals = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.float32)
+    vals_lo = (np.zeros((ndev, ntiles, SUB, LANES), dtype=np.float32)
+               if df else None)
     from ..ops.pallas_sell import pack_gpk
-    for d, p in enumerate(packs):
+    for d, (p, lo_tiles) in enumerate(packs):
         win[d, : p.ntiles] = p.window_ids
         gpk[d, : p.ntiles] = pack_gpk(p.slice_ids)
         meta[d, : p.ntiles] = p.meta
         vals[d, : p.ntiles] = p.vals
+        if df:
+            vals_lo[d, : p.ntiles] = lo_tiles
         # padding tiles: target the last group, not first, zero values
         if p.ntiles < ntiles:
             gpk[d, p.ntiles:] = (ngroups - 1) << 4
@@ -700,8 +722,9 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
         mesh=mesh, axis=axis, ndev=ndev, m=a.m, n=a.n, nnz=a.nnz,
         mr=mr, ntiles=ntiles, nslices=nslices,
         window_ids=sh(win), gpk=sh(gpk), meta=sh(meta), vals=sh(vals),
+        vals_lo=sh(vals_lo) if df else None,
         x_mode=x_mode,
-        max_pad=max(p.pad_ratio for p in packs) if packs else 0.0,
+        max_pad=max(p.pad_ratio for p, _ in packs) if packs else 0.0,
     )
     plan._halo = halo
     plan._exec = _build_sell8w_executable(plan, interpret)
@@ -709,21 +732,22 @@ def build_dist_sell8w_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
 
 
 def _build_sell8w_executable(plan: DistSell8WPlan, interpret: bool):
-    from ..ops.pallas_sell import _run
+    from ..ops.pallas_sell import _run, _run_df_v1
     mesh, axis = plan.mesh, plan.axis
     x_sharded = plan.x_mode == "allgather"
     halo = getattr(plan, "_halo", 0) if plan.x_mode == "halo" else 0
     ntiles, nslices, n, mr = plan.ntiles, plan.nslices, plan.n, plan.mr
     ndev = plan.ndev
     n_local = (2 * halo + 1) * mr if halo else n
+    df = plan.vals_lo is not None
 
-    def shard_body(win, gpk, meta, vals, x):
+    def _assemble_x(x):
         if x_sharded:
             # the gathered vector has ceil(n/ndev)*ndev elements; _run's
             # window padding requires exactly n (measured reshape crash
             # when n % ndev != 0)
-            x = jax.lax.all_gather(x, axis, tiled=True)[:n]
-        elif halo:
+            return jax.lax.all_gather(x, axis, tiled=True)[:n]
+        if halo:
             # neighbor x blocks via ppermute rings (O(halo·mr) per shard)
             xb = x[0]
             parts = [xb]
@@ -735,7 +759,35 @@ def _build_sell8w_executable(plan: DistSell8WPlan, interpret: bool):
                 bwd = jax.lax.ppermute(
                     bwd, axis, [(i, (i - 1) % ndev) for i in range(ndev)])
                 parts = [fwd] + parts + [bwd]
-            x = jnp.concatenate(parts)
+            return jnp.concatenate(parts)
+        return x
+
+    if df:
+        def shard_body(win, gpk, meta, vals, vals_lo, x):
+            x = _assemble_x(x)
+            out = _run_df_v1(win[0], gpk[0], x, meta[0], vals[0],
+                             vals_lo[0], ntiles=ntiles, nslices=nslices,
+                             n=n_local, interpret=interpret)
+            return out.reshape(-1)[None, :mr]
+
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(axis),) * 5
+            + (P(axis) if (x_sharded or halo) else P(),),
+            out_specs=P(axis),
+            check_vma=False,   # pallas_call outputs carry no vma info
+        )
+
+        @jax.jit
+        def run_df(win, gpk, meta, vals, vals_lo, x):
+            if halo:
+                x = x.reshape(ndev, -1)
+            return smap(win, gpk, meta, vals, vals_lo, x).reshape(-1)
+
+        return run_df
+
+    def shard_body(win, gpk, meta, vals, x):
+        x = _assemble_x(x)
         out = _run(win[0], gpk[0], x, meta[0], vals[0],
                    ntiles=ntiles, nslices=nslices, n=n_local,
                    interpret=interpret)
@@ -772,7 +824,11 @@ def dist_sell8w_spmv(plan: DistSell8WPlan, x) -> jax.Array:
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
-    y = plan._exec(plan.window_ids, plan.gpk, plan.meta, plan.vals, x)
+    if plan.vals_lo is not None:
+        y = plan._exec(plan.window_ids, plan.gpk, plan.meta, plan.vals,
+                       plan.vals_lo, x)
+    else:
+        y = plan._exec(plan.window_ids, plan.gpk, plan.meta, plan.vals, x)
     return y[: plan.m]
 
 
@@ -808,6 +864,9 @@ class DistSell8DPlan:
     x_mode: str
     max_pad: float = 0.0
     rest: Optional[tuple] = None   # (rows, cols, vals) global straggler
+    #: f64 double-float low planes (None for f32 plans)
+    vals_lo: Optional[jax.Array] = None
+    pal_lo: Optional[jax.Array] = None
     _halo: int = 0
     _exec: object = None
 
@@ -832,9 +891,11 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     from ..formats.sell8w import SUB, LANES, value_palette
     if x_mode not in ("replicated", "allgather", "halo"):
         raise ValueError(f"unknown x_mode {x_mode!r}")
-    if np.dtype(a.dtype) != np.float32:
-        raise ValueError("dist SELL-8D computes in float32; cast "
-                         "explicitly or use build_dist_plan")
+    df = np.dtype(a.dtype) == np.float64
+    if not df and np.dtype(a.dtype) != np.float32:
+        raise ValueError("dist SELL-8D computes in float32 or double-"
+                         "float f64; cast explicitly or use "
+                         "build_dist_plan")
     if a.nnz == 0:
         raise ValueError("empty matrix has no SELL-8D packing")
     if nw is None:
@@ -864,17 +925,27 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     # table — per-shard palettes would decode each other's codes wrongly
     lb = nw.bit_length() - 1
     pal_shared = None
-    gp = value_palette(np.asarray(a.vals), max_entries=64 >> lb)
-    if gp is not None:
-        force_mode = "palette"
-        pal_shared = np.asarray(gp[0][1:])   # sorted unique nonzeros, pad
-        pal_shared = pal_shared[pal_shared != 0.0]
+    if df:
+        # f64: shared palette of f64 values (both hi/lo palettes ride one
+        # code) or full hi/lo tile planes
+        uniq = np.unique(np.asarray(a.vals)[np.asarray(a.vals) != 0.0])
+        if len(uniq) + 1 <= (64 >> lb):
+            force_mode = "palette_df"
+            pal_shared = uniq
+        else:
+            force_mode = "df"
     else:
-        import ml_dtypes
-        v32 = np.asarray(a.vals, dtype=np.float32)
-        force_mode = ("bf16" if bool(np.array_equal(
-            v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
-            else "f32")
+        gp = value_palette(np.asarray(a.vals), max_entries=64 >> lb)
+        if gp is not None:
+            force_mode = "palette"
+            pal_shared = np.asarray(gp[0][1:])  # sorted unique nonzeros
+            pal_shared = pal_shared[pal_shared != 0.0]
+        else:
+            import ml_dtypes
+            v32 = np.asarray(a.vals, dtype=np.float32)
+            force_mode = ("bf16" if bool(np.array_equal(
+                v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
+                else "f32")
 
     packs, rests = [], []
     for d in range(ndev):
@@ -928,14 +999,18 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
     ginfo[:, :nslices] = (np.arange(nslices, dtype=np.int64) << 1 | 1) \
         .astype(INT_DTYPE)
     meta = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.int16)
-    vals = None
-    if force_mode == "f32":
+    vals = vals_lo = None
+    if force_mode in ("f32", "df"):
         vals = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.float32)
     elif force_mode == "bf16":
         import ml_dtypes
         vals = np.zeros((ndev, ntiles, SUB, LANES),
                         dtype=ml_dtypes.bfloat16)
+    if force_mode == "df":
+        vals_lo = np.zeros((ndev, ntiles, SUB, LANES), dtype=np.float32)
     pal = np.zeros((SUB, LANES), dtype=np.float32)
+    pal_lo = np.zeros((SUB, LANES), dtype=np.float32) \
+        if force_mode == "palette_df" else None
     for d, p in enumerate(packs):
         if p is None:
             continue
@@ -944,8 +1019,13 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
         meta[d, : p.ntiles] = p.meta
         if vals is not None and p.vals is not None:
             vals[d, : p.ntiles] = p.vals
+        if vals_lo is not None and p.vals_lo is not None:
+            vals_lo[d, : p.ntiles] = p.vals_lo
         if p.palette is not None:
             pal = np.tile(p.palette[None, :], (SUB, 1)).astype(np.float32)
+        if pal_lo is not None and p.palette_lo is not None:
+            pal_lo = np.tile(p.palette_lo[None, :],
+                             (SUB, 1)).astype(np.float32)
 
     rest = None
     if rests:
@@ -961,7 +1041,16 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
         vals=(sh(vals) if vals is not None
               else jax.device_put(np.zeros((SUB, LANES), np.float32),
                                   NamedSharding(mesh, P()))),
+        vals_lo=(sh(vals_lo) if vals_lo is not None
+                 else (jax.device_put(np.zeros((SUB, LANES), np.float32),
+                                      NamedSharding(mesh, P()))
+                       if force_mode == "palette_df" else None)),
         pal=jax.device_put(pal, NamedSharding(mesh, P())),
+        pal_lo=(jax.device_put(
+            pal_lo if pal_lo is not None
+            else np.zeros((SUB, LANES), np.float32),
+            NamedSharding(mesh, P()))
+            if force_mode in ("df", "palette_df") else None),
         x_mode=x_mode,
         max_pad=max((p.pad_ratio for p in packs if p is not None),
                     default=0.0),
@@ -972,19 +1061,20 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
 
 
 def _build_sell8d_executable(plan: DistSell8DPlan, interpret: bool):
-    from ..ops.pallas_sell import _run_v2
+    from ..ops.pallas_sell import _run_v2, _run_v2_df
     mesh, axis = plan.mesh, plan.axis
     x_sharded = plan.x_mode == "allgather"
     halo = plan._halo if plan.x_mode == "halo" else 0
     nsteps, nslices, n, mr = plan.nsteps, plan.nslices, plan.n, plan.mr
     ndev, g, nw, value_mode = plan.ndev, plan.g, plan.nw, plan.value_mode
     n_local = (2 * halo + 1) * mr if halo else n
-    palette = value_mode == "palette"
+    palette = value_mode in ("palette", "palette_df")
+    df = value_mode in ("df", "palette_df")
 
-    def shard_body(tinfo, ginfo, meta, vals, pal, x):
+    def _assemble_x(x):
         if x_sharded:
-            x = jax.lax.all_gather(x, axis, tiled=True)[:n]
-        elif halo:
+            return jax.lax.all_gather(x, axis, tiled=True)[:n]
+        if halo:
             xb = x[0]
             parts = [xb]
             fwd = xb
@@ -995,7 +1085,41 @@ def _build_sell8d_executable(plan: DistSell8DPlan, interpret: bool):
                 bwd = jax.lax.ppermute(
                     bwd, axis, [(i, (i - 1) % ndev) for i in range(ndev)])
                 parts = [fwd] + parts + [bwd]
-            x = jnp.concatenate(parts)
+            return jnp.concatenate(parts)
+        return x
+
+    if df:
+        def shard_body(tinfo, ginfo, meta, vals, vals_lo, pal, pal_lo, x):
+            x = _assemble_x(x)
+            out = _run_v2_df(tinfo[0], ginfo[0], x, meta[0],
+                             vals if palette else vals[0],
+                             vals_lo if palette else vals_lo[0],
+                             pal, pal_lo,
+                             g=g, palette=palette, nsteps=nsteps,
+                             nslices=nslices, n=n_local,
+                             interpret=interpret, slot_mode=True, nw=nw)
+            return out.reshape(-1)[None, :mr]
+
+        vspec = P() if palette else P(axis)
+        smap = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), vspec, vspec, P(), P(),
+                      P(axis) if (x_sharded or halo) else P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run_df(tinfo, ginfo, meta, vals, vals_lo, pal, pal_lo, x):
+            if halo:
+                x = x.reshape(ndev, -1)
+            return smap(tinfo, ginfo, meta, vals, vals_lo, pal, pal_lo,
+                        x).reshape(-1)
+
+        return run_df
+
+    def shard_body(tinfo, ginfo, meta, vals, pal, x):
+        x = _assemble_x(x)
         out = _run_v2(tinfo[0], ginfo[0], x, meta[0],
                       vals if palette else vals[0], pal,
                       g=g, value_mode=value_mode, nsteps=nsteps,
@@ -1036,8 +1160,12 @@ def dist_sell8d_spmv(plan: DistSell8DPlan, x) -> jax.Array:
         x = jax.device_put(x, NamedSharding(plan.mesh, P(plan.axis)))
     else:
         x = jax.device_put(x, NamedSharding(plan.mesh, P()))
-    y = plan._exec(plan.tinfo, plan.ginfo, plan.meta, plan.vals, plan.pal,
-                   x)[: plan.m]
+    if plan.value_mode in ("df", "palette_df"):
+        y = plan._exec(plan.tinfo, plan.ginfo, plan.meta, plan.vals,
+                       plan.vals_lo, plan.pal, plan.pal_lo, x)[: plan.m]
+    else:
+        y = plan._exec(plan.tinfo, plan.ginfo, plan.meta, plan.vals,
+                       plan.pal, x)[: plan.m]
     if plan.rest is not None:
         rows, cols, vls = plan.rest
         y = y.at[jnp.asarray(rows.astype(INT_DTYPE))].add(

@@ -136,10 +136,12 @@ def test_dist_sell8w_allgather_indivisible_n():
     np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6)
 
 
-def test_dist_sell8w_rejects_f64():
+def test_dist_sell8w_rejects_unsupported_dtype():
+    # f32 and f64 (double-float) are the kernel dtypes; anything else must
+    # be cast explicitly by the caller
     from spmv_tpu.parallel import build_dist_sell8w_plan
-    a = generate.clustered(500, 500, 10, spread=100, dtype=np.float64)
-    with pytest.raises(ValueError, match="float32"):
+    a = generate.clustered(500, 500, 10, spread=100, dtype=np.float16)
+    with pytest.raises(ValueError, match="float32 or double-float"):
         build_dist_sell8w_plan(a, make_mesh_1d(4))
 
 
@@ -183,6 +185,62 @@ def test_dist_general_halo_rejects_scatter():
     a = generate.random_uniform(512, 512, 6, seed=3)   # scattered columns
     with pytest.raises(ValueError, match="halo depth"):
         build_dist_plan(a, make_mesh_1d(8), x_mode="halo")
+
+
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather"])
+def test_dist_sell8w_f64(x_mode):
+    # distributed double-float (VERDICT round-2 item 5): the dist tiers
+    # run the reference's primary dtype.  Interpret mode simplifies the
+    # EFTs (PERFNOTES caveat) — assert f32-level accuracy + f64 dtype.
+    from spmv_tpu.parallel import build_dist_sell8w_plan, dist_sell8w_spmv
+    from spmv_tpu.types import CsrMatrix
+    a32 = generate.clustered(2000, 2000, 10, spread=120, dtype=np.float32,
+                             seed=12)
+    rng = np.random.default_rng(5)
+    a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx,
+                  rng.standard_normal(a32.nnz))
+    mesh = make_mesh_1d(4)
+    plan = build_dist_sell8w_plan(a, mesh, x_mode=x_mode, interpret=True)
+    assert plan.vals_lo is not None
+    x = rng.standard_normal(a.n)
+    y = np.asarray(dist_sell8w_spmv(plan, x))
+    assert y.dtype == np.float64
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
+
+
+@pytest.mark.parametrize("x_mode", ["replicated", "allgather", "halo"])
+def test_dist_sell8d_f64(x_mode):
+    from spmv_tpu.parallel import build_dist_sell8d_plan, dist_sell8d_spmv
+    from spmv_tpu.types import CsrMatrix
+    a32 = generate.random_uniform(9000, 9000, 8, dtype=np.float32, seed=3)
+    rng = np.random.default_rng(6)
+    a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx,
+                  rng.standard_normal(a32.nnz))     # >64 distinct → df
+    mesh = make_mesh_1d(4)
+    plan = build_dist_sell8d_plan(a, mesh, x_mode=x_mode,
+                                  max_pad_ratio=200.0, interpret=True)
+    assert plan.value_mode == "df" and plan.vals_lo is not None
+    x = rng.standard_normal(a.n)
+    y = np.asarray(dist_sell8d_spmv(plan, x))
+    assert y.dtype == np.float64
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
+
+
+def test_dist_sell8d_f64_shared_palette():
+    # dyadic f64 values (the reference's exact-value fixture) fit the
+    # shared palette → palette_df mode, zero value streams
+    from spmv_tpu.parallel import build_dist_sell8d_plan, dist_sell8d_spmv
+    a = generate.random_uniform(6000, 6000, 8, dtype=np.float64, seed=9)
+    mesh = make_mesh_1d(4)
+    plan = build_dist_sell8d_plan(a, mesh, max_pad_ratio=200.0,
+                                  interpret=True)
+    assert plan.value_mode == "palette_df"
+    x = np.random.default_rng(2).standard_normal(a.n)
+    y = np.asarray(dist_sell8d_spmv(plan, x))
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
 
 
 @pytest.mark.parametrize("x_mode", ["replicated", "allgather", "halo"])
