@@ -95,11 +95,18 @@ def bench_matrix(name: str, a: CsrMatrix,
                  methods: Iterable[Method],
                  iters: int = 10, repeats: int = 2,
                  external: bool = False,
+                 split_predeal: bool = False,
                  out=sys.stdout) -> List[str]:
-    """Bench one matrix across methods; print + return CSV rows."""
+    """Bench one matrix across methods; print + return CSV rows.
+
+    ``split_predeal`` appends ``pack_ms,transfer_ms`` columns (the
+    host-pack vs device-transfer split of the predeal, measured via
+    ``handle.predeal_profile``) — round-3 sweep extension; the default
+    keeps the reference's exact schema (test_spmv.c:146-149).
+    """
     import jax
     import jax.numpy as jnp
-    from ..handle import create_handle
+    from ..handle import create_handle, predeal_profile
 
     x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
     golden = spmv_golden(a.astype(np.float64), x.astype(np.float64))
@@ -110,7 +117,12 @@ def bench_matrix(name: str, a: CsrMatrix,
     for method in methods:
         t0 = time.perf_counter()
         try:
-            h = create_handle(a, method=method)
+            if split_predeal:
+                with predeal_profile() as laps:
+                    h = create_handle(a, method=method)
+            else:
+                laps = {"transfer_s": 0.0}
+                h = create_handle(a, method=method)
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             print(f"# {name},{METHOD_NAMES[Method(method)]}: "
                   f"handle failed: {e}", file=out, flush=True)
@@ -132,11 +144,17 @@ def bench_matrix(name: str, a: CsrMatrix,
         row = _row(name, h.method_name, VECTORIZED_NAMES[h.vectorized],
                    threads, a.nnz, rmse, predeal_ms, avg * 1e3,
                    2 * a.nnz / avg / 1e9, 2 * a.nnz / best / 1e9)
+        if split_predeal:
+            t_ms = laps["transfer_s"] * 1e3
+            row += f",{predeal_ms - t_ms:.3f},{t_ms:.3f}"
         print(row, file=out, flush=True)
         rows.append(row)
 
     if external:
-        rows += _external_baselines(name, a, x, golden, iters, out)
+        ext = _external_baselines(name, a, x, golden, iters, out)
+        if split_predeal:          # keep the CSV rectangular
+            ext = [r + ",," for r in ext]
+        rows += ext
     return rows
 
 
@@ -199,6 +217,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--external", action="store_true",
                    help="also run ScipyCsr/JaxBcoo baselines")
+    p.add_argument("--split-predeal", action="store_true",
+                   help="append pack_ms,transfer_ms columns (round-3 "
+                        "predeal split; blocks per-transfer)")
     p.add_argument("--out", default=None,
                    help="also append CSV rows to this file")
     args = p.parse_args(argv)
@@ -217,14 +238,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..utils import enable_compile_cache
     enable_compile_cache()
     import os
-    print(CSV_HEADER, flush=True)
+    header = CSV_HEADER + (",pack_ms,transfer_ms" if args.split_predeal
+                           else "")
+    print(header, flush=True)
     if args.out and not os.path.exists(args.out):
         with open(args.out, "w") as f:
-            f.write(CSV_HEADER + "\n")
+            f.write(header + "\n")
     for spec in args.matrices:
         name, a = load_any(spec, dtype=dtype)
         rows = bench_matrix(name, a, methods, iters=args.iters,
-                            repeats=args.repeats, external=args.external)
+                            repeats=args.repeats, external=args.external,
+                            split_predeal=args.split_predeal)
         if args.out:
             # append per matrix so a crash mid-sweep loses nothing
             with open(args.out, "a") as f:

@@ -117,7 +117,8 @@ class _SortedMembership:
 
 
 def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
-              nw: int, tile_ns: Optional[float] = None) -> int:
+              nw: int, tile_ns: Optional[float] = None,
+              spill_ns: Optional[float] = None) -> int:
     """Depth cap minimizing the measured cost model over candidate caps:
 
         cost(d) = tiles(d)·TILE_NS  +  tail(d)·SPILL_NS
@@ -151,7 +152,7 @@ def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
     tiles = (total_d - suffix(sum_d_ge, d + 1)) + d * suffix(cnt_d_ge,
                                                             d + 1)
     cost = tiles * (_TILE_NS[nw] if tile_ns is None else tile_ns) \
-        + tail * _SPILL_NS
+        + tail * (_SPILL_NS if spill_ns is None else spill_ns)
     return int(d[np.argmin(cost)])
 
 
@@ -311,6 +312,8 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     # only — the uncapped case stays in Python (tests use it).  The native
     # packer allocates a DENSE (slice, bundle) table — skip it when that
     # table would exceed ~2 GB (huge m·n; the numpy path is sparse).
+    df_in = np.dtype(a.dtype) == np.dtype(np.float64)
+    tns_tab, spill_ns = cost_tables(n > _V2_MAX_N, df_in)
     if use_native and nslices * nwin <= (1 << 28) \
             and (depth_cap == "auto"
                  or (isinstance(depth_cap, int) and depth_cap > 0)):
@@ -318,8 +321,7 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
         nat = pack_sell8d_native(
             m, n, a.rowptr, a.colidx, nw=nw, g=g,
             depth_cap=-1 if depth_cap == "auto" else int(depth_cap),
-            tile_ns=(_TILE_NS_W if n > _V2_MAX_N else _TILE_NS)[nw],
-            spill_ns=_SPILL_NS)
+            tile_ns=tns_tab[nw], spill_ns=spill_ns)
         if nat is not None:
             (tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx,
              _cap) = nat
@@ -378,9 +380,8 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     dmax_all = np.maximum.reduceat(fsizes[po], pstarts_f)
 
     if depth_cap == "auto":
-        cap = _cost_cap(
-            fsizes, dmax_all, nw,
-            tile_ns=(_TILE_NS_W if n > _V2_MAX_N else _TILE_NS)[nw])
+        cap = _cost_cap(fsizes, dmax_all, nw, tile_ns=tns_tab[nw],
+                        spill_ns=spill_ns)
     elif depth_cap is None:
         cap = int(rank.max()) + 1
     else:
@@ -715,6 +716,9 @@ class HybridPrep:
     spilled: int                 # sparse estimated straggler nnz
     nw: int                      # sparse bundle width
     dense_frac: float
+    #: estimated execution cost (ns) under the dtype-aware tables — the
+    #: number _plan_windowed compares against single-format plans
+    cost: float = 0.0
 
     @property
     def tiles(self) -> int:
@@ -769,14 +773,20 @@ def prepare_hybrid(a: CsrMatrix,
         light = CsrMatrix(a.m, a.n, rp_l, colidx[~mask], vals[~mask])
         td = estimate_sell8w_tiles(dense_sorted)
         ts, _cap, spilled, nw = estimate_sell8d_auto(light, nw=None)
-        ts_tab = _TILE_NS_W if a.n > _V2_MAX_N else _TILE_NS
-        cost = (td * _TILE_NS[1] + ts * ts_tab[nw]
-                + spilled * _SPILL_NS)
+        # dtype-aware costing: double-float tiles stream two value
+        # planes (+ EFT arithmetic) so the R/nw optimum shifts — f32
+        # tables mis-place the split for f64 (measured powerlaw100k_f64
+        # 2.49 GF/s with the f32-table split vs the 1.67x kernel ratio)
+        df = np.dtype(a.dtype) == np.dtype(np.float64)
+        ts_tab, spill_ns = cost_tables(a.n > _V2_MAX_N, df)
+        dense_ns = _TILE_NS[1] * (_DF_DENSE_MULT if df else 1.0)
+        cost = (td * dense_ns + ts * ts_tab[nw] + spilled * spill_ns)
         if best is None or cost < best[0]:
             best = (cost, HybridPrep(
                 dense_sorted=dense_sorted, fold_rows=fold_rows,
                 sparse=light, td=int(td), ts=int(ts),
-                spilled=int(spilled), nw=nw, dense_frac=frac))
+                spilled=int(spilled), nw=nw, dense_frac=frac,
+                cost=float(cost)))
     return best[1] if best else None
 
 
@@ -816,6 +826,35 @@ _SPILL_NS = 15.0
 #: a bf16 value stream doubles tile bytes but rides the same DMA window —
 #: measured nw=8-bf16 28.5 vs nw=4-palette 26.9 ns/tile
 _VALS_NS = 4.0
+#: double-float (f64) per-tile multipliers vs the f32 tables: two value
+#: planes + the EFT arithmetic chain.  CALIBRATED ON-CHIP
+#: (baselines/probe_df_costs.out, powerlaw100k f32/f64 co-timed on
+#: identical 14184/3928-tile splits, window-normalized by the f32
+#: dense 18.5-vs-20 ratio): dense 25.7 ns/tile → 1.4x; slot nw=8
+#: 69.0 ns/tile → (69/0.93 − 2·_VALS_NS)/29 ≈ 2.2x.
+_DF_DENSE_MULT = 1.4
+_DF_SLOT_MULT = 2.2
+#: XLA straggler cost per spilled f64 nnz — the gather/segment-sum floor
+#: moves 2x the bytes per element
+_SPILL_NS_DF = 22.0
+
+
+def dense_tile_ns(df: bool) -> float:
+    """Per-tile cost of the row-mode (SELL-8W v2) kernel — the hybrid
+    gate's dense-side unit, co-located with the slot tables so the two
+    sides stay calibrated against each other."""
+    return _TILE_NS[1] * (_DF_DENSE_MULT if df else 1.0)
+
+
+def cost_tables(windowed: bool, df: bool):
+    """(tile_ns_by_nw, spill_ns) for the (windowed-DMA, double-float)
+    regime — the single source every estimator/cap chooser draws from so
+    plan decisions and pack-time depth caps stay consistent."""
+    base = _TILE_NS_W if windowed else _TILE_NS
+    if not df:
+        return base, _SPILL_NS
+    return ({w: v * _DF_SLOT_MULT for w, v in base.items()},
+            _SPILL_NS_DF)
 
 
 def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
@@ -852,7 +891,8 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         return (0, 0, 0) if nw is not None else (0, 0, 0, 1)
     if windowed is None:
         windowed = a.n > _V2_MAX_N
-    _tns = _TILE_NS_W if windowed else _TILE_NS
+    df = np.dtype(a.dtype) == np.dtype(np.float64)
+    _tns, _sns = cost_tables(windowed, df)
     res = None
     if (max(-(-a.m // SLICE_ROWS), 1)
             * max(-(-a.n // WINDOW), 1)) <= (1 << 28):
@@ -860,7 +900,7 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         from ..native import sell8d_stats_native
         res = sell8d_stats_native(
             a.m, a.n, a.rowptr, a.colidx,
-            [_tns[w] for w in (1, 2, 4, 8)], _SPILL_NS)
+            [_tns[w] for w in (1, 2, 4, 8)], _sns)
     if res is not None:
         tiles4, cap4, spill4 = res
         if nw is not None:
@@ -871,8 +911,10 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         for wi, w in enumerate((1, 2, 4, 8)):
             tns = _tns[w]
             if npal > (64 >> wi):
-                tns += _VALS_NS
-            cost = tiles4[wi] * tns + spill4[wi] * _SPILL_NS
+                # infeasible palette pays a raw value stream: one bf16
+                # plane (f32 input) or two f32 planes (double-float)
+                tns += 2 * _VALS_NS if df else _VALS_NS
+            cost = tiles4[wi] * tns + spill4[wi] * _sns
             if best_w is None or cost < best_w[0]:
                 best_w = (cost, wi, w)
         _, wi, w = best_w
@@ -895,8 +937,8 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         tiles = int(np.minimum(dmax, cap).sum())
         tile_ns = _tns[w]
         if nw is None and npal > (64 >> (w.bit_length() - 1)):
-            tile_ns += _VALS_NS
-        cost = tiles * tile_ns + spilled * _SPILL_NS
+            tile_ns += 2 * _VALS_NS if df else _VALS_NS
+        cost = tiles * tile_ns + spilled * _sns
         if best is None or cost < best[0]:
             best = (cost, tiles, cap, spilled, w)
     _, tiles, cap, spilled, w = best

@@ -27,8 +27,10 @@ Method_Auto        inspector picks one of the above from matrix features
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
+import time
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -265,6 +267,43 @@ def _graph_gate(a: CsrMatrix, prep) -> bool:
             and prep.spilled <= 0.02 * a.nnz)
 
 
+#: active predeal profile record (None = profiling off, zero overhead)
+_PREDEAL_LAPS: Optional[Dict[str, float]] = None
+
+
+@contextlib.contextmanager
+def predeal_profile():
+    """Record handle creation's host-pack vs device-transfer split.
+
+    Yields a dict updated in place: ``transfer_s`` (wall seconds spent in
+    blocked device_put) and ``bytes`` (plan bytes shipped).  Pack time is
+    the caller's total predeal minus ``transfer_s``.  Each transfer is
+    blocked on inside the context so the split is honest — this serializes
+    transfers against host pack work, so use it for measurement sweeps
+    (baselines/run_round3_sweep.py), not hot paths.  The reference's
+    predeal column has no such split (test_spmv.c:89-93) — round-2 VERDICT
+    asked for it to separate host contention from real pack cost.
+    """
+    global _PREDEAL_LAPS
+    prev = _PREDEAL_LAPS
+    _PREDEAL_LAPS = {"transfer_s": 0.0, "bytes": 0}
+    try:
+        yield _PREDEAL_LAPS
+    finally:
+        _PREDEAL_LAPS = prev
+
+
+def _dev_put(x):
+    """jax.device_put, instrumented when a predeal_profile is active."""
+    if _PREDEAL_LAPS is None:
+        return jax.device_put(x)
+    t0 = time.perf_counter()
+    r = jax.block_until_ready(jax.device_put(x))
+    _PREDEAL_LAPS["transfer_s"] += time.perf_counter() - t0
+    _PREDEAL_LAPS["bytes"] += getattr(r, "nbytes", 0)
+    return r
+
+
 def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
     """Pack the graph-split plan (hub x-extension + heavy 8W + light 8D).
 
@@ -275,7 +314,7 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
     the full-m output directly).
     """
     from .formats import sell8d as sell8d_fmt, sell8w as sell8w_fmt
-    dev = jax.device_put
+    dev = _dev_put
     mem_cap = 6.7e8 / max(a.nnz, 1)
     g = 8 if prep.light.nnz < 500_000 else 16
     packed, rest8d = sell8d_fmt.pack_sell8d(
@@ -347,7 +386,7 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
 def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 vectorized: VectorizedWay = VectorizedWay.VPU,
                 hints: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-    dev = jax.device_put
+    dev = _dev_put
     if (method in (Method.SELL_C_SIGMA, Method.PARALLEL)
             and vectorized != VectorizedWay.NONE
             and np.dtype(a.dtype) in (np.dtype(np.float32),
@@ -419,8 +458,10 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             # DMA-aware cost table, formats/sell8d.py _TILE_NS_W)
             if np.dtype(mat.dtype) in (np.dtype(np.float32),
                                        np.dtype(np.float64)):
-                from .formats.sell8d import (estimate_sell8d_auto,
+                from .formats.sell8d import (cost_tables, dense_tile_ns,
+                                             estimate_sell8d_auto,
                                              prepare_hybrid)
+                df = np.dtype(mat.dtype) == np.dtype(np.float64)
                 t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
                 if spilled > 0.02 * mat.nnz:
                     t8d = 0                       # 8D alone not viable
@@ -443,7 +484,26 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     hint = (hints or {}).get("hybrid_prep")
                     prep = (hint if hint is not None and mat is a
                             else prepare_hybrid(mat))
-                    if (prep is not None and prep.tiles < 0.7 * best
+                    if prep is None:
+                        hybrid_wins = False
+                    elif df:
+                        # double-float: compare dtype-aware COSTS, not
+                        # raw tile counts — dense (8W df) and slot (8D
+                        # df) tiles price differently, so the f32
+                        # tile-count gate mis-routes f64 (measured
+                        # powerlaw100k_f64 at the f32 split: 3.98x
+                        # slower than f32 vs the 1.67x kernel ratio)
+                        ts_tab, spill_ns = cost_tables(
+                            mat.n > V2_MAX_N, True)
+                        cost_8w = (t8w * dense_tile_ns(True)
+                                   if t8w else float("inf"))
+                        cost_8d = (t8d * ts_tab[nw] + spilled * spill_ns
+                                   if t8d else float("inf"))
+                        hybrid_wins = prep.cost < 0.85 * min(cost_8w,
+                                                             cost_8d)
+                    else:
+                        hybrid_wins = prep.tiles < 0.7 * best
+                    if (hybrid_wins
                             and prep.spilled <= 0.02 * mat.nnz
                             and prep.tiles * sell8w_fmt.WINDOW <= 6.7e8):
                         try:
@@ -451,6 +511,42 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                             pd["m_rows"] = prep.dense_sorted.m
                             pd["fold_rows"] = dev(
                                 prep.fold_rows.astype(INT_DTYPE))
+                            k = len(prep.fold_rows)
+                            if (df and "sell8w_v2" in pd
+                                    and "mega_sub_rows" not in pd
+                                    and "rest_rows" not in pd
+                                    and 2 * k <= V2_MAX_N):
+                                # f64 fold: the m-length f64 scatter-add
+                                # costs ~0.9 ms on-chip (probe_fold_df);
+                                # fold the dense part's raw f32 (hi, lo)
+                                # output planes through ONE binary
+                                # near-diagonal 8W kernel instead
+                                # (probe_fold2_df: 1.554 → 0.78 ms marg;
+                                # stacking both planes block-diagonally
+                                # saves the second dispatch + gather).
+                                # Sorted fold targets keep the matrix
+                                # column-monotone → ~1 tile per 128-row
+                                # slice per plane.
+                                o = np.argsort(prep.fold_rows,
+                                               kind="stable")
+                                fr_s = prep.fold_rows[o].astype(np.int64)
+                                ar_k = np.arange(k, dtype=np.int64)
+                                f_mat = CsrMatrix.from_coo(
+                                    2 * mat.m, 2 * k,
+                                    np.concatenate([fr_s, fr_s + mat.m]),
+                                    np.concatenate([ar_k, ar_k + k]),
+                                    np.ones(2 * k, dtype=np.float32),
+                                    sum_duplicates=False)
+                                packed_f = sell8w_fmt.pack_sell8w(
+                                    f_mat, max_pad_ratio=1e9)
+                                v2f = sell8w_fmt.plan_v2(packed_f)
+                                pd["fold8w"] = {
+                                    "sell8w": packed_f,
+                                    "sell8w_v2": v2f,
+                                    "pad_ratio": packed_f.pad_ratio,
+                                    "value_mode": v2f.value_mode}
+                                pd["fold_order2"] = dev(np.concatenate(
+                                    [o, o + k]).astype(INT_DTYPE))
                             # the sub-part pad gate scales to its own nnz
                             # (the whole-plan slot budget was gated above);
                             # the HBM cap still applies per part
@@ -735,8 +831,26 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
         # the compact dense output folds back with one small scatter-add.
         # Independent pallas calls — the scheduler may overlap them.
         pd, psp = p["hybrid"]
-        f1 = _make_bound(m, pd, pd.get("m_rows", m_rows))
         f2 = _make_bound(m, psp, m_rows)
+        if "fold8w" in pd:
+            # f64: fold the dense part's raw f32 (hi, lo) planes through
+            # the stacked binary near-diagonal kernel and convert once —
+            # the naive f64 scatter-add fold costs ~0.9 ms at 100k rows
+            # (baselines/probe_fold2_df.out)
+            from .ops.pallas_sell import build_sell8w_v2_fn
+            f1p = build_sell8w_v2_fn(pd["sell8w_v2"], planes=True)
+            fold_fn = _make_bound(m, pd["fold8w"], m_rows)
+            o2 = pd["fold_order2"]
+            mr = m_rows
+
+            def hyb_df(x):
+                yh, yl = f1p(x)
+                z = fold_fn(jnp.concatenate([yh, yl])[o2])
+                return (f2(x) + z[:mr].astype(jnp.float64)
+                        + z[mr:].astype(jnp.float64))
+
+            return hyb_df
+        f1 = _make_bound(m, pd, pd.get("m_rows", m_rows))
         if "fold_rows" in pd:
             fr = pd["fold_rows"]
             return lambda x: f2(x).at[fr].add(f1(x))
@@ -951,10 +1065,10 @@ def create_handle(a: CsrMatrix,
         resolved = Method.BALANCED    # reference's balanced2 demotion rule
     bound = _make_bound(resolved, plan, a.m)
     if perm is not None:
-        perm_dev = jax.device_put(jnp.asarray(perm.astype(INT_DTYPE)))
+        perm_dev = _dev_put(jnp.asarray(perm.astype(INT_DTYPE)))
         inv = np.empty_like(perm)
         inv[perm] = np.arange(len(perm))
-        inv_dev = jax.device_put(jnp.asarray(inv.astype(INT_DTYPE)))
+        inv_dev = _dev_put(jnp.asarray(inv.astype(INT_DTYPE)))
         inner = bound
         # y[perm[i]] = y'[i]  ⇔  y = y'[inv]
         bound = lambda x: inner(x[perm_dev])[inv_dev]
@@ -962,7 +1076,7 @@ def create_handle(a: CsrMatrix,
         # rows-only reorder: x natural, fold y back with one m-gather
         inv = np.empty_like(row_perm)
         inv[row_perm] = np.arange(len(row_perm))
-        inv_dev = jax.device_put(jnp.asarray(inv.astype(INT_DTYPE)))
+        inv_dev = _dev_put(jnp.asarray(inv.astype(INT_DTYPE)))
         inner = bound
         bound = lambda x: inner(x)[inv_dev]
     h = SpmvHandle(

@@ -838,10 +838,10 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
 
 @functools.partial(jax.jit, static_argnames=("g", "palette", "nsteps",
                                              "nslices", "n", "interpret",
-                                             "slot_mode", "nw"))
+                                             "slot_mode", "nw", "planes"))
 def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
                palette, nsteps, nslices, n, interpret=False,
-               slot_mode=False, nw=1):
+               slot_mode=False, nw=1, planes=False):
     n_pad = -(-n // (WINDOW * nw)) * (WINDOW * nw)
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
@@ -883,14 +883,25 @@ def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
             grid_spec=grid_spec,
             interpret=interpret,
         )(tinfo, ginfo, *args)
+    if planes:
+        # keep the (hi, lo) f32 planes separate: y64 == hi.f64 + lo.f64
+        # exactly — the hybrid's binary fold kernel folds each plane and
+        # converts once at the end (avoids the ~0.9 ms m-length f64
+        # scatter-add, baselines/probe_fold2_df.out)
+        return ohi, olo
     return ohi.astype(jnp.float64) + olo.astype(jnp.float64)
 
 
-def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False):
+def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False,
+                       planes: bool = False):
     """x -> y closure over the v2 grouped tile stream.
 
     Accepts a :class:`Sell8W` (regrouped here) or a prebuilt
     :class:`Sell8WV2`.  Requires n ≤ V2_MAX_N (x resident in VMEM).
+
+    ``planes`` (df modes only): return the raw f32 ``(hi, lo)`` output
+    planes instead of their f64 sum — the hybrid fold consumes them
+    plane-wise so the combine stays in f32 until one final convert.
     """
     v2 = packed if isinstance(packed, Sell8WV2) else plan_v2(packed, g=g)
     if v2.n > V2_MAX_N:
@@ -916,6 +927,16 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False):
         pal_lo = _bcast(v2.palette_lo)
         is_pal = value_mode == "palette_df"
 
+        if planes:
+            def fn_planes(x):
+                oh, ol = _run_v2_df(
+                    tinfo, ginfo, x, meta, vals, vals_lo, pal, pal_lo,
+                    g=G, palette=is_pal, nsteps=nsteps, nslices=nslices,
+                    n=n, interpret=interpret, planes=True)
+                return oh.reshape(-1)[:m], ol.reshape(-1)[:m]
+
+            return fn_planes
+
         def fn(x):
             out = _run_v2_df(tinfo, ginfo, x, meta, vals, vals_lo, pal,
                              pal_lo, g=G, palette=is_pal, nsteps=nsteps,
@@ -923,6 +944,8 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False):
             return out.reshape(-1)[:m]
 
         return fn
+    if planes:
+        raise ValueError("planes output is a df-mode contract")
 
     def fn(x):
         out = _run_v2(tinfo, ginfo, x, meta, vals, pal,

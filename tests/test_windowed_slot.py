@@ -103,3 +103,64 @@ def test_handle_routes_f64_large_n(monkeypatch):
     h = create_handle(a, method=Method.SELL_C_SIGMA)
     assert any(k in h.plan for k in ("sell8w_v2w", "sell8d", "hybrid")), \
         list(h.plan)
+
+
+def test_hybrid_df_fold_kernel(monkeypatch):
+    """f64 hybrid folds its dense planes through the binary near-diagonal
+    kernel (handle.py fold8w) instead of an f64 scatter-add — the fold
+    matrix, order, and plane algebra must reconstruct exactly."""
+    import jax.numpy as jnp
+
+    import spmv_tpu.handle as handle_mod
+    from spmv_tpu.handle import create_handle, _exec_serial
+    from spmv_tpu.types import Method
+    from spmv_tpu.ops.pallas_sell import build_sell8w_v2_fn
+
+    monkeypatch.setattr(handle_mod, "_is_tpu", lambda: True)
+    a32 = generate.power_law(30_000, 30_000, 20 * 30_000,
+                             dtype=np.float32, seed=3)
+    rng = np.random.default_rng(5)
+    a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx,
+                  rng.standard_normal(a32.nnz))
+    h = create_handle(a, method=Method.SELL_C_SIGMA)
+    assert "hybrid" in h.plan, list(h.plan)
+    pd, psp = h.plan["hybrid"]
+    assert "fold8w" in pd and "fold_order2" in pd, list(pd)
+    assert pd["fold8w"]["value_mode"] in ("palette", "binary"), \
+        pd["fold8w"]["value_mode"]
+
+    # the stacked fold kernel must place d[j] at row fold_rows[j] in
+    # each of its two block-diagonal planes
+    fold_fn = build_sell8w_v2_fn(pd["fold8w"]["sell8w_v2"],
+                                 interpret=True)
+    fr = np.asarray(pd["fold_rows"])
+    o2 = np.asarray(pd["fold_order2"])
+    k = len(fr)
+    d = np.arange(1, 2 * k + 1, dtype=np.float32)
+    out = np.asarray(fold_fn(jnp.asarray(d[o2])))
+    expect = np.zeros(2 * a.m, np.float32)
+    expect[fr] = d[:k]
+    expect[a.m + fr] = d[k:]
+    np.testing.assert_array_equal(out, expect)
+
+    # full hybrid df path (interpret executors) vs golden
+    f1p = build_sell8w_v2_fn(pd["sell8w_v2"], planes=True,
+                             interpret=True)
+    from spmv_tpu.ops.pallas_sell import build_sell8d_fn
+    f2i = build_sell8d_fn(psp["sell8d"], interpret=True)
+    x = rng.standard_normal(a.n)
+    xj = jnp.asarray(x)
+    y = np.asarray(f2i(xj), dtype=np.float64)
+    if "rest_rows" in psp:
+        y = y + np.asarray(_exec_serial(
+            psp["rest_rows"], psp["rest_cols"], psp["rest_vals"], xj,
+            a.m))
+    yh, yl = f1p(xj)
+    z = np.asarray(fold_fn(jnp.asarray(
+        np.concatenate([np.asarray(yh), np.asarray(yl)])[o2])))
+    y = y + z[:a.m].astype(np.float64) + z[a.m:].astype(np.float64)
+    g = spmv_golden(a, x)
+    scale = max(np.abs(g).max(), 1.0)
+    # interpret mode simplifies the EFT chain — f32-level bound here,
+    # the tight df bound is checked on hardware (validate_f64_tiers)
+    np.testing.assert_allclose(y / scale, g / scale, atol=3e-6)
