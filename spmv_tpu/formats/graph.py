@@ -14,8 +14,9 @@ locality plus popular "hub" columns) defeat every single-format plan
 The split that works (measured est. pad ~18 on the same matrix, 4-6x
 better, all parts riding Pallas kernels):
 
-1. **Hub columns** (degree ≥ ~8x the mean, a few thousand holding 15-20%
-   of nnz) are REMAPPED to a compact range appended after n; the executor
+1. **Hub columns** (degree ≥ max(hub_min_count, 3x the mean) — a few
+   thousand columns holding 15-20% of nnz, see ``_hub_columns``) are
+   REMAPPED to a compact range appended after n; the executor
    builds ``x_ext = concat(x, x[hub_cols])`` per call (a K-element gather,
    ~30 µs at K=4096).  Scattered hub references collapse into ≤ K/1024
    extra windows shared by BOTH parts (x_ext's prefix is x, so non-hub

@@ -46,7 +46,8 @@ from typing import Optional, Tuple, Union
 import numpy as np
 
 from ..types import CsrMatrix
-from .sell8w import LANES, SUB, WINDOW, value_palette
+from .sell8w import (LANES, SUB, WINDOW, df16_encode_lo, df16_safe,
+                     value_palette)
 
 __all__ = ["Sell8D", "pack_sell8d", "estimate_sell8d_tiles"]
 
@@ -170,10 +171,10 @@ def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
         # double-float: aligned (hi, lo) f32 planes for the EFT kernel —
         # the placement above is value-independent, so one pass builds
         # both (the f64 analog of sell8w's pack-twice trick)
-        if force_value_mode not in (None, "df", "palette_df"):
+        if force_value_mode not in (None, "df", "df16", "palette_df"):
             raise ValueError(
                 f"value mode {force_value_mode!r} incompatible with f64 "
-                "input (double-float modes are 'df'/'palette_df')")
+                "input (double-float modes are 'df'/'df16'/'palette_df')")
         if palette_values is not None:
             # shared code table across shards, f64 flavor
             uniq = np.asarray(palette_values, dtype=np.float64)
@@ -190,7 +191,7 @@ def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
                 len(uniq) + 1 > (64 >> lb):
             raise ValueError("palette_df value mode forced but > "
                              f"{64 >> lb} distinct values")
-        if (force_value_mode != "df"
+        if (force_value_mode not in ("df", "df16")
                 and len(uniq) + 1 <= (64 >> lb)):
             value_mode = "palette_df"
             codes = np.zeros(len(vals_k), dtype=np.int16)
@@ -209,14 +210,27 @@ def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
             np.bitwise_or(meta, code_plane, out=meta)
             del code_plane
         else:
-            value_mode = "df"
+            # df16 (int16 quantized lo plane, ~40-bit values — 20% less
+            # tile stream on the stream-bound df kernels) is the default;
+            # full-f32 "df" serves forced requests and values outside the
+            # df16 range contract (sell8w.df16_encode_lo)
+            use16 = (df16_safe(vals_k) if force_value_mode is None
+                     else force_value_mode == "df16")
+            if force_value_mode == "df16" and not df16_safe(vals_k):
+                raise ValueError("df16 value mode forced but values are "
+                                 "outside its normal-range contract")
+            value_mode = "df16" if use16 else "df"
             vhi = vals_k.astype(np.float32)
-            vlo = (vals_k - vhi.astype(np.float64)).astype(np.float32)
+            vlo64 = vals_k - vhi.astype(np.float64)
             vals_arr = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
             vals_arr[slot_flat] = vhi
             vals_arr = vals_arr.reshape(ntiles, SUB, LANES)
-            vals_lo = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
-            vals_lo[slot_flat] = vlo
+            if use16:
+                vals_lo = np.zeros(ntiles * SUB * LANES, dtype=np.int16)
+                vals_lo[slot_flat] = df16_encode_lo(vhi, vlo64)
+            else:
+                vals_lo = np.zeros(ntiles * SUB * LANES, dtype=np.float32)
+                vals_lo[slot_flat] = vlo64.astype(np.float32)
             vals_lo = vals_lo.reshape(ntiles, SUB, LANES)
     else:
         if palette_values is not None:
@@ -417,6 +431,14 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     kdmax = np.minimum(dmax_all[np.searchsorted(pairs_all, kpair)], cap)
     # stride covers the budget plus the overflow levels (≤ cap + bumps)
     md = 2 * cap + max_repair + 8
+    # the static nslices·nwin ≤ 2^50 gate above cannot see md; re-check
+    # the exact bound now that md is known: cell_key's
+    # (pair·md + depth)·WINDOW + slot must stay inside int64 (ADVICE
+    # round-3 — reachable only at astronomically large m·n·cap)
+    if nslices * nwin > (1 << 62) // (md * WINDOW):
+        raise ValueError(
+            f"SELL-8D cell-key space {nslices}x{nwin}x{md} overflows "
+            "int64; use the XLA plans")
     depth = (krank + krow) % kdmax
 
     def cell_key(p, d, i, r):
@@ -624,7 +646,8 @@ class Sell8D:
     g: int                     # tiles per grid step
     ntiles: int                # padded to G per slice
     nsteps: int
-    value_mode: str    # "palette" | "bf16" | "f32" | "df" | "palette_df"
+    # "palette" | "bf16" | "f32" | "df" | "df16" | "palette_df"
+    value_mode: str
     tinfo: np.ndarray          # (ntiles,) int32: bundle << 3
     ginfo: np.ndarray          # (nsteps,) int32: slice << 1 | first_flag
     meta: np.ndarray           # (ntiles, 8, 128) int16:
@@ -779,7 +802,7 @@ def prepare_hybrid(a: CsrMatrix,
         # 2.49 GF/s with the f32-table split vs the 1.67x kernel ratio)
         df = np.dtype(a.dtype) == np.dtype(np.float64)
         ts_tab, spill_ns = cost_tables(a.n > _V2_MAX_N, df)
-        dense_ns = _TILE_NS[1] * (_DF_DENSE_MULT if df else 1.0)
+        dense_ns = dense_tile_ns(df)
         cost = (td * dense_ns + ts * ts_tab[nw] + spilled * spill_ns)
         if best is None or cost < best[0]:
             best = (cost, HybridPrep(
@@ -834,27 +857,45 @@ _VALS_NS = 4.0
 #: 69.0 ns/tile → (69/0.93 − 2·_VALS_NS)/29 ≈ 2.2x.
 _DF_DENSE_MULT = 1.4
 _DF_SLOT_MULT = 2.2
+#: df16 (int16 lo plane, the default f64 mode): the kernels are
+#: stream-bound, and df16 cuts the slot tile stream 10 → 8 KB and the
+#: dense stream likewise — initial estimates scaled from the round-3 df
+#: calibration by the byte ratio; re-calibrate on-chip when the probe
+#: runs (baselines/probe_df16_onchip.py)
+_DF16_DENSE_MULT = 1.25
+_DF16_SLOT_MULT = 1.8
 #: XLA straggler cost per spilled f64 nnz — the gather/segment-sum floor
 #: moves 2x the bytes per element
 _SPILL_NS_DF = 22.0
 
 
-def dense_tile_ns(df: bool) -> float:
+def _df_mult(df, dense: bool):
+    """df selector: False → 1.0; True → the df16 defaults (the mode AUTO
+    actually packs for f64); the literal "df" → the full-f32-lo tables."""
+    if not df:
+        return 1.0
+    if df == "df":
+        return _DF_DENSE_MULT if dense else _DF_SLOT_MULT
+    return _DF16_DENSE_MULT if dense else _DF16_SLOT_MULT
+
+
+def dense_tile_ns(df) -> float:
     """Per-tile cost of the row-mode (SELL-8W v2) kernel — the hybrid
     gate's dense-side unit, co-located with the slot tables so the two
     sides stay calibrated against each other."""
-    return _TILE_NS[1] * (_DF_DENSE_MULT if df else 1.0)
+    return _TILE_NS[1] * _df_mult(df, dense=True)
 
 
-def cost_tables(windowed: bool, df: bool):
+def cost_tables(windowed: bool, df):
     """(tile_ns_by_nw, spill_ns) for the (windowed-DMA, double-float)
     regime — the single source every estimator/cap chooser draws from so
-    plan decisions and pack-time depth caps stay consistent."""
+    plan decisions and pack-time depth caps stay consistent.  ``df``:
+    False | True (→ df16, the default f64 value mode) | "df"."""
     base = _TILE_NS_W if windowed else _TILE_NS
     if not df:
         return base, _SPILL_NS
-    return ({w: v * _DF_SLOT_MULT for w, v in base.items()},
-            _SPILL_NS_DF)
+    mult = _df_mult(df, dense=False)
+    return ({w: v * mult for w, v in base.items()}, _SPILL_NS_DF)
 
 
 def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
@@ -912,8 +953,8 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
             tns = _tns[w]
             if npal > (64 >> wi):
                 # infeasible palette pays a raw value stream: one bf16
-                # plane (f32 input) or two f32 planes (double-float)
-                tns += 2 * _VALS_NS if df else _VALS_NS
+                # plane (f32 input) or the f32-hi + int16-lo df16 pair
+                tns += 1.5 * _VALS_NS if df else _VALS_NS
             cost = tiles4[wi] * tns + spill4[wi] * _sns
             if best_w is None or cost < best_w[0]:
                 best_w = (cost, wi, w)
@@ -937,7 +978,7 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         tiles = int(np.minimum(dmax, cap).sum())
         tile_ns = _tns[w]
         if nw is None and npal > (64 >> (w.bit_length() - 1)):
-            tile_ns += 2 * _VALS_NS if df else _VALS_NS
+            tile_ns += 1.5 * _VALS_NS if df else _VALS_NS
         cost = tiles * tile_ns + spilled * _sns
         if best is None or cost < best[0]:
             best = (cost, tiles, cap, spilled, w)

@@ -37,7 +37,8 @@ from ..types import CsrMatrix, INT_DTYPE
 
 __all__ = ["Sell8W", "Sell8WV2", "pack_sell8w", "plan_v2",
            "estimate_sell8w_tiles", "pairs_lower_bound", "value_palette",
-           "split_megarows", "split_stragglers"]
+           "split_megarows", "split_stragglers", "df16_encode_lo",
+           "df16_safe"]
 
 LANES = 128
 SUB = 8
@@ -81,19 +82,63 @@ class Sell8WV2:
     g: int                     # tiles per grid step
     ntiles: int                # padded to G per slice-group
     nsteps: int
-    value_mode: str       # "palette" | "bf16" | "f32" | "df" | "palette_df"
+    # "palette" | "bf16" | "f32" | "df" | "df16" | "palette_df"
+    value_mode: str
     tinfo: np.ndarray          # (ntiles,) int32: window << 3 | row_in_group
     ginfo: np.ndarray          # (nsteps,) int32: group << 1 | first_flag
     meta: np.ndarray           # (ntiles, 8, 128) int16 (s<<7|r | code<<10)
     vals: Optional[np.ndarray]  # (ntiles, 8, 128) f32/bf16, None for palette
     palette: Optional[np.ndarray]  # (128,) f32, palette[0] == 0
-    # double-float (f64 ≈ hi + lo in two f32) extras — None outside df modes
-    vals_lo: Optional[np.ndarray] = None     # (ntiles, 8, 128) f32
+    # double-float (f64 ≈ hi + lo) extras — None outside df modes.  vals_lo
+    # is f32 in "df" mode, int16 quantized lo mantissas in "df16" (default
+    # f64 mode — see df16_encode_lo)
+    vals_lo: Optional[np.ndarray] = None
     palette_lo: Optional[np.ndarray] = None  # (128,) f32
 
     @property
     def pad_ratio(self) -> float:
         return self.ntiles * WINDOW / max(self.nnz_stored, 1)
+
+
+def df16_encode_lo(vhi: np.ndarray, vlo: np.ndarray) -> np.ndarray:
+    """Quantize a double-float lo plane to int16 (the "df16" value mode).
+
+    Encodes ``vlo ≈ q · 2^(e−39)`` where ``2^e = floor-pow2(|vhi|)`` — the
+    kernel recovers the scale from vhi's exponent bits (one bitcast + mask,
+    ops/pallas_sell._df16_decode), so the lo stream carries NO exponent.
+    Since ``|vlo| ≤ ulp(vhi)/2 = 2^(e−24)``, ``|q| ≤ 2^15`` (clipped to
+    32767 at the exact-half-ulp edge, one quantum of loss).  Value
+    precision ≈ 24 + 16 = 40 mantissa bits vs 48 for the full f32 lo plane
+    at HALF its bytes — the df tile stream drops 10 → 8 KB/tile, and the
+    kernels are stream-bound (PERFNOTES.md round-3 df multipliers).
+
+    The reference computes f64 natively (include/spmv.h:49); TPU VPUs have
+    no f64, so "own dtype" here is the documented double-float ladder:
+    df ≈ 2^-45 worst-case value representation, df16 ≈ 2^-40.  Out-of-range
+    inputs (|vhi| subnormal-adjacent or non-finite) drop the lo part —
+    :func:`df16_safe` gates the mode off for those matrices.
+    """
+    vh64 = np.asarray(vhi, dtype=np.float32).astype(np.float64)
+    _, e = np.frexp(vh64)
+    step = np.ldexp(1.0, e - 40)       # floor-pow2(|vhi|) · 2^-39
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        q = np.rint(np.asarray(vlo, dtype=np.float64) / step)
+    # the kernel decodes subnormal/zero/non-finite vhi to scale 0 — encode
+    # the same slots to 0 so both sides agree (lo loss ≤ 2^-125 absolute)
+    bad = ~np.isfinite(vh64) | (np.abs(vh64) < 2.0 ** -100)
+    q = np.where(bad | ~np.isfinite(q), 0.0, q)
+    return np.clip(q, -32767, 32767).astype(np.int16)
+
+
+def df16_safe(vals: np.ndarray) -> bool:
+    """True when every value sits where df16 keeps its 40-bit contract:
+    finite, and either exactly 0 or |v| ≥ 2^-100 (far above f32
+    subnormals, where the exponent-bit scale recovery degrades)."""
+    v = np.asarray(vals).reshape(-1)
+    if not np.isfinite(v).all():
+        return False
+    av = np.abs(v)
+    return bool(((av == 0) | (av >= 2.0 ** -100)).all())
 
 
 def value_palette(vals: np.ndarray, max_entries: int = 64):
@@ -118,7 +163,8 @@ def value_palette(vals: np.ndarray, max_entries: int = 64):
 
 
 def plan_v2(p: Sell8W, g: int = 16,
-            lo_tiles: Optional[np.ndarray] = None) -> Sell8WV2:
+            lo_tiles: Optional[np.ndarray] = None,
+            force_value_mode: Optional[str] = None) -> Sell8WV2:
     """Regroup a v1 tile stream for the v2 kernel.
 
     Pads each slice-GROUP's tile run to a multiple of ``g`` with zero tiles
@@ -131,8 +177,13 @@ def plan_v2(p: Sell8W, g: int = 16,
     is value-independent, so the caller obtains it by packing the SAME
     matrix twice (vals=hi, vals=lo) — identical slots guaranteed.  Selects
     value_mode "palette_df" (≤64 distinct f64 values — both palettes ride
-    one meta code) or "df".
+    one meta code), else "df16" (int16 quantized lo plane, ~40-bit values,
+    the default — see :func:`df16_encode_lo`), else "df" when df16's range
+    contract fails or ``force_value_mode="df"`` asks for the full 48-bit
+    lo plane.
     """
+    if force_value_mode not in (None, "df", "df16", "palette_df"):
+        raise ValueError(f"unknown plan_v2 value mode {force_value_mode!r}")
     ngroups = max(-(-p.nslices // SUB), 1)
     groups = p.slice_ids.astype(np.int64) // SUB
     # run lengths per group (slice-major order; every group covered ≥ 1)
@@ -161,7 +212,7 @@ def plan_v2(p: Sell8W, g: int = 16,
                + lo_tiles.astype(np.float64)).reshape(-1)
         uniq = np.unique(v64)
         uniq = uniq[uniq != 0.0]
-        if len(uniq) + 1 <= 64:
+        if len(uniq) + 1 <= 64 and force_value_mode in (None, "palette_df"):
             # exact-f64 palette, split into hi/lo decode rows
             pal_f64 = np.zeros(LANES, dtype=np.float64)
             pal_f64[1: 1 + len(uniq)] = uniq
@@ -177,12 +228,24 @@ def plan_v2(p: Sell8W, g: int = 16,
                           .reshape(p.ntiles, SUB, LANES), np.uint16(10)))
             meta[dest] = merged.view(np.int16)
         else:
-            value_mode = "df"
+            if force_value_mode == "palette_df":
+                raise ValueError("palette_df value mode forced but > 64 "
+                                 "distinct values")
+            use16 = (df16_safe(v64) if force_value_mode is None
+                     else force_value_mode == "df16")
+            if use16 and force_value_mode == "df16" and not df16_safe(v64):
+                raise ValueError("df16 value mode forced but values are "
+                                 "outside its normal-range contract")
+            value_mode = "df16" if use16 else "df"
             meta[dest] = p.meta
             vals = np.zeros((ntiles, SUB, LANES), dtype=np.float32)
             vals[dest] = p.vals.astype(np.float32)
-            vals_lo = np.zeros((ntiles, SUB, LANES), dtype=np.float32)
-            vals_lo[dest] = lo_tiles.astype(np.float32)
+            if use16:
+                vals_lo = np.zeros((ntiles, SUB, LANES), dtype=np.int16)
+                vals_lo[dest] = df16_encode_lo(p.vals, lo_tiles)
+            else:
+                vals_lo = np.zeros((ntiles, SUB, LANES), dtype=np.float32)
+                vals_lo[dest] = lo_tiles.astype(np.float32)
         nsteps = ntiles // g
         sg = np.repeat(np.arange(ngroups, dtype=np.int64), padded // g)
         first = np.ones(nsteps, dtype=np.int64)

@@ -40,7 +40,10 @@ class MatrixFeatures:
     # COO2 pass-2 lower bound: (slice,window) pairs · 1024 / nnz
     coo2_pad: float = float("inf")
     # Window locality: estimated SELL-8W padding (tiles·1024/nnz) — the
-    # decision metric for the Pallas windowed kernel (PERFNOTES.md)
+    # decision metric for the Pallas windowed kernel (PERFNOTES.md).
+    # When the coarse pairs floor alone exceeds every decision threshold
+    # (> 32), this holds that LOWER BOUND instead of the (multi-second at
+    # 32M nnz) exact estimate; coo2_pad inherits the same bound.
     sell8w_pad: float = float("inf")
 
     @property
@@ -65,6 +68,26 @@ def _sell_pad_ratio(lengths: np.ndarray, c: int = 128,
     return total / max(nnz, 1)
 
 
+def _pairs_floor_pad(a: CsrMatrix) -> float:
+    """Coarse (1024-row slice, 8-window bundle) pairs-floor pad.
+
+    One O(nnz) bincount that lower-bounds EVERY windowed format's pad
+    (finer grids only split pairs) — the pre-gate that keeps the
+    multi-second tile estimators off hopeless ultra-sparse matrices
+    (PERFNOTES.md "pairs-floor pre-gate").  Returns 0.0 when the coarse
+    table itself would be too large to materialize."""
+    from .formats.sell8w import WINDOW
+    ns8d = max(-(-a.m // 1024), 1)
+    nb8d = max(-(-a.n // (1024 * 8)), 1)
+    if ns8d * nb8d > (1 << 28):
+        return 0.0
+    rows_g = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    key_g = (rows_g >> 10) * nb8d + (a.colidx.astype(np.int64) >> 13)
+    pairs_lb = int(np.count_nonzero(
+        np.bincount(key_g, minlength=ns8d * nb8d)))
+    return pairs_lb * WINDOW / a.nnz
+
+
 def featurize(a: CsrMatrix) -> MatrixFeatures:
     from .formats.dia import dia_profile
     lengths = a.row_lengths.astype(np.int64)
@@ -75,16 +98,32 @@ def featurize(a: CsrMatrix) -> MatrixFeatures:
     if a.nnz:
         from .formats.sell8w import (estimate_sell8w_tiles, WINDOW,
                                      pairs_lower_bound, split_megarows)
-        # estimate what the plan will actually pack: the handle's SELL-8W
-        # route virtually splits mega-rows when that improves the pack
-        # (powerlaw100k natural 111 vs split 69), so take the min
-        est = estimate_sell8w_tiles(a)
-        a_split, subs = split_megarows(a)
-        if subs is not None:
-            est = min(est, estimate_sell8w_tiles(a_split))
-        sell8w_pad = est * WINDOW / a.nnz
-        pairs = pairs_lower_bound(a)
-        coo2_pad = pairs * WINDOW / a.nnz if pairs else float("inf")
+        # Pairs-floor pre-gate (the same O(nnz) bincount the handle's AUTO
+        # route uses): the coarse (1024-row slice, 8-window bundle) pair
+        # count lower-bounds EVERY windowed format — when even that floor
+        # exceeds all pad allowances, publish the floor as the bound and
+        # skip the estimator cascade (measured 188 s of estimates on
+        # uniform 4M×4M d=8 before the inevitable XLA fallback;
+        # VERDICT round-3 item 8).
+        floor_pad = _pairs_floor_pad(a)
+        if floor_pad > 32.0:
+            # 32 is featurize's largest sell8w_pad decision threshold
+            # (_decide) — past it the exact estimate cannot change any
+            # routing, so publish the floor as the bound
+            sell8w_pad = floor_pad       # lower BOUND, not an estimate
+            coo2_pad = floor_pad
+        else:
+            # estimate what the plan will actually pack: the handle's
+            # SELL-8W route virtually splits mega-rows when that improves
+            # the pack (powerlaw100k natural 111 vs split 69) — take the
+            # min
+            est = estimate_sell8w_tiles(a)
+            a_split, subs = split_megarows(a)
+            if subs is not None:
+                est = min(est, estimate_sell8w_tiles(a_split))
+            sell8w_pad = est * WINDOW / a.nnz
+            pairs = pairs_lower_bound(a)
+            coo2_pad = pairs * WINDOW / a.nnz if pairs else float("inf")
     else:
         sell8w_pad = 1.0
         coo2_pad = 1.0
@@ -183,6 +222,13 @@ def choose_method(a: CsrMatrix, feats: MatrixFeatures = None) -> Method:
             from .formats.sell8w import (estimate_sell8w_tiles, WINDOW,
                                          split_megarows)
             if a.nnz:
+                floor_pad = _pairs_floor_pad(a)
+                if floor_pad > 32.0:
+                    # past every sell8w_pad decision threshold — the
+                    # floor decides; skip the estimator cascade
+                    cache[k] = floor_pad
+                    cache.setdefault("coo2_pad", floor_pad)
+                    return cache[k]
                 est = estimate_sell8w_tiles(a)
                 a_split, subs = split_megarows(a)
                 if subs is not None:
@@ -247,9 +293,23 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
         if os.path.exists(path):
             with open(path) as f:
                 rec = json.load(f)
-            h = create_handle(a, method=Method(rec["method"]))
-            return h, {METHOD_NAMES[h.method]: rec.get("seconds",
-                                                       float("nan"))}
+            # Validate the record against THIS matrix — the reference's
+            # partition cache treats a stored-shape mismatch as a miss
+            # (HyperGraphInterface.cpp findToken checks m/nnz); a reused
+            # token must never silently apply another matrix's winner.
+            # A stale winner can also fail to build (e.g. a cached DIA
+            # pick after the matrix stops being banded) — fall back to
+            # the full sweep rather than raise where the sweep survives.
+            match = (rec.get("m") == a.m
+                     and rec.get("nnz") == a.nnz
+                     and rec.get("dtype") == str(np.dtype(a.dtype)))
+            if match:
+                try:
+                    h = create_handle(a, method=Method(rec["method"]))
+                    return h, {METHOD_NAMES[h.method]:
+                               rec.get("seconds", float("nan"))}
+                except Exception:  # noqa: BLE001 — stale winner → re-sweep
+                    pass
 
     if methods is None:
         # every distinct execution plan, CSR5 (the COO2/8D scattered
@@ -284,5 +344,7 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
         raise RuntimeError("tune: every candidate method failed")
     if mtx_token:
         with open(_tune_cache_path(mtx_token), "w") as f:
-            json.dump({"method": int(best[2]), "seconds": best[0]}, f)
+            json.dump({"method": int(best[2]), "seconds": best[0],
+                       "m": int(a.m), "nnz": int(a.nnz),
+                       "dtype": str(np.dtype(a.dtype))}, f)
     return best[1], results

@@ -34,7 +34,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
+           "-pthread", _SRC, "-o", _SO]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
         return res.returncode == 0 and os.path.exists(_SO)

@@ -14,12 +14,15 @@
 // Exposed as a plain C ABI for ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <atomic>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -559,6 +562,27 @@ struct CellMap {
 
 }  // namespace
 
+// Slice-aligned row ranges with ~equal nnz for the parallel pack phases.
+// Every phase below is independent per 1024-row slice (cell keys embed the
+// pair id = slice*nb + bundle; masks are per-row), so slice-aligned ranges
+// make the threaded result IDENTICAL to the sequential one.
+static std::vector<std::pair<int64_t, int64_t>> slice_ranges(
+    int64_t m, const int32_t* rowptr, int nthreads) {
+  std::vector<std::pair<int64_t, int64_t>> out;
+  const int64_t nnz = rowptr[m];
+  const int64_t per = (nnz + nthreads - 1) / nthreads;
+  int64_t r0 = 0;
+  while (r0 < m) {
+    int64_t target = rowptr[r0] + per;
+    int64_t r1 = r0 + 1024;                 // at least one slice
+    while (r1 < m && rowptr[std::min<int64_t>(r1, m)] < target) r1 += 1024;
+    if (r1 > m) r1 = m;
+    out.emplace_back(r0, r1);
+    r0 = r1;
+  }
+  return out;
+}
+
 extern "C" void* sell8d_pack(
     int64_t m, int64_t n, const int32_t* rowptr, const int32_t* colidx,
     int nw, int g, int depth_cap /* <=0: auto */, double tile_ns,
@@ -571,6 +595,33 @@ extern "C" void* sell8d_pack(
   const int64_t bcols = static_cast<int64_t>(kWindow) << lb;
   const int64_t nb = std::max<int64_t>((n + bcols - 1) / bcols, 1);
   const int64_t nslices = std::max<int64_t>((m + kWindow - 1) / kWindow, 1);
+  // thread the O(nnz) phases on large packs (measured: the sequential
+  // pack was 27.5 s at 32M nnz — the 75.6 s scattered-4M predeal outlier,
+  // VERDICT round-3 item 2; per-range cell maps also fit cache where the
+  // single 1 GB map thrashed DRAM)
+  int nthreads = 1;
+  if (nnz >= (1 << 20)) {
+    unsigned hw = std::thread::hardware_concurrency();
+    nthreads = static_cast<int>(std::min<unsigned>(hw ? hw : 1, 8));
+  }
+  const auto ranges = slice_ranges(m, rowptr, nthreads);
+
+  auto par_for = [&](auto&& fn) {
+    if (ranges.size() <= 1) {
+      for (size_t i = 0; i < ranges.size(); ++i) fn(i);
+      return;
+    }
+    std::vector<std::thread> ts;
+    std::atomic<size_t> next{0};
+    const int nt = std::min<int>(nthreads, static_cast<int>(ranges.size()));
+    for (int t = 0; t < nt; ++t)
+      ts.emplace_back([&]() {
+        for (size_t i = next.fetch_add(1); i < ranges.size();
+             i = next.fetch_add(1))
+          fn(i);
+      });
+    for (auto& th : ts) th.join();
+  };
 
   // --- group sizes per (row, bundle) + per-pair dmax (full set) ----------
   // Per row: bundle counts via a small scan (columns need not be sorted);
@@ -578,11 +629,11 @@ extern "C" void* sell8d_pack(
   std::vector<int64_t> dmax(static_cast<size_t>(nslices) * nb, 0);
   std::vector<int32_t> gsize(nnz);        // group size stamped per entry
   std::vector<int32_t> grank(nnz);        // rank within the group
-  {
+  par_for([&](size_t ri) {
     std::vector<int32_t> cnt;             // per-row scratch: bundle -> count
     cnt.assign(static_cast<size_t>(nb), 0);
     std::vector<int64_t> touched;
-    for (int64_t r = 0; r < m; ++r) {
+    for (int64_t r = ranges[ri].first; r < ranges[ri].second; ++r) {
       const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
       if (p0 == p1) continue;
       touched.clear();
@@ -600,7 +651,7 @@ extern "C" void* sell8d_pack(
         gsize[p] = cnt[colidx[p] >> (10 + lb)];
       for (int64_t b : touched) cnt[b] = 0;
     }
-  }
+  });
 
   // --- cost-model depth cap (mirrors formats/sell8d.py _cost_cap) --------
   int cap = depth_cap;
@@ -644,19 +695,24 @@ extern "C" void* sell8d_pack(
   }
 
   // --- greedy placement ---------------------------------------------------
+  // parallel per slice-range: cell keys embed the pair id, so per-range
+  // CellMaps (sized to the range, cache-resident) decide EXACTLY like the
+  // old single whole-nnz map (which thrashed DRAM at 32M nnz)
   auto* buf = new Sell8dBuffer();
   buf->cap = cap;
-  CellMap cells(static_cast<size_t>(nnz));
   std::vector<int32_t> pair_maxd(dmax.size(), -1);   // realized max depth
   const int64_t maxd_stride = 2 * static_cast<int64_t>(cap) + 80;
   std::vector<int64_t> e_pair(nnz), e_depth(nnz);
   std::vector<int8_t> e_keep(nnz, 0);
+  const int64_t mask_words = (2 * static_cast<int64_t>(cap) + 144) / 64 + 1;
+  par_for([&](size_t ri) {
+  const int64_t r_lo = ranges[ri].first, r_hi = ranges[ri].second;
+  CellMap cells(static_cast<size_t>(rowptr[r_hi] - rowptr[r_lo]) + 16);
   // per-row scratch: bundle -> index into the row's used-depth bitsets
   std::vector<int32_t> mask_idx(static_cast<size_t>(nb), -1);
-  const int64_t mask_words = (2 * static_cast<int64_t>(cap) + 144) / 64 + 1;
   std::vector<uint64_t> masks;          // row-local arena
   std::vector<int64_t> touched;
-  for (int64_t r = 0; r < m; ++r) {
+  for (int64_t r = r_lo; r < r_hi; ++r) {
     const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
     if (p0 == p1) continue;
     masks.clear();
@@ -715,6 +771,7 @@ extern "C" void* sell8d_pack(
     }
     for (int64_t b : touched) mask_idx[b] = -1;
   }
+  });
 
   // --- layout: per-pair runs, per-slice G padding -------------------------
   std::vector<int64_t> slice_tiles(nslices, 0);
@@ -764,33 +821,53 @@ extern "C" void* sell8d_pack(
     }
   }
   buf->meta.assign(static_cast<size_t>(ntiles) * kWindow, 0);
+  // meta writes land in the range's own slices (disjoint tile spans);
+  // kept/spill indices collect per range and concatenate in range order so
+  // the output ordering matches the sequential pass exactly
+  std::vector<std::vector<int64_t>> kept_r(ranges.size()),
+      slot_r(ranges.size()), spill_r(ranges.size());
+  par_for([&](size_t ri) {
+    auto& kept = kept_r[ri];
+    auto& slots = slot_r[ri];
+    auto& spills = spill_r[ri];
+    kept.reserve(rowptr[ranges[ri].second] - rowptr[ranges[ri].first]);
+    slots.reserve(kept.capacity());
+    for (int64_t r = ranges[ri].first; r < ranges[ri].second; ++r) {
+      const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
+      const int i_sub = static_cast<int>((r & 1023) >> 7);
+      const int l_lane = static_cast<int>(r & 127);
+      for (int64_t p = p0; p < p1; ++p) {
+        if (!e_keep[p]) {
+          spills.push_back(p);
+          continue;
+        }
+        const int64_t c = colidx[p];
+        const int64_t tile = pair_base[e_pair[p]] + e_depth[p];
+        const int64_t base = tile * kWindow;
+        const int64_t slot = base + i_sub * kLanes + l_lane;
+        const int64_t cellp = base + i_sub * kLanes + (c & 127);
+        uint16_t slot_bits = static_cast<uint16_t>(c & 127);
+        if (lb)
+          slot_bits |= static_cast<uint16_t>(((c >> 10) & (nw - 1)) << 10);
+        buf->meta[slot] = static_cast<int16_t>(
+            static_cast<uint16_t>(buf->meta[slot]) | slot_bits);
+        buf->meta[cellp] = static_cast<int16_t>(
+            static_cast<uint16_t>(buf->meta[cellp]) |
+            static_cast<uint16_t>(((c >> 7) & 7) << 7));
+        kept.push_back(p);
+        slots.push_back(slot);
+      }
+    }
+  });
   buf->kept_idx.reserve(nnz);
   buf->slot_flat.reserve(nnz);
-  for (int64_t r = 0; r < m; ++r) {
-    const int64_t p0 = rowptr[r], p1 = rowptr[r + 1];
-    const int i_sub = static_cast<int>((r & 1023) >> 7);
-    const int l_lane = static_cast<int>(r & 127);
-    for (int64_t p = p0; p < p1; ++p) {
-      if (!e_keep[p]) {
-        buf->spill_idx.push_back(p);
-        continue;
-      }
-      const int64_t c = colidx[p];
-      const int64_t tile = pair_base[e_pair[p]] + e_depth[p];
-      const int64_t base = tile * kWindow;
-      const int64_t slot = base + i_sub * kLanes + l_lane;
-      const int64_t cellp = base + i_sub * kLanes + (c & 127);
-      uint16_t slot_bits = static_cast<uint16_t>(c & 127);
-      if (lb)
-        slot_bits |= static_cast<uint16_t>(((c >> 10) & (nw - 1)) << 10);
-      buf->meta[slot] = static_cast<int16_t>(
-          static_cast<uint16_t>(buf->meta[slot]) | slot_bits);
-      buf->meta[cellp] = static_cast<int16_t>(
-          static_cast<uint16_t>(buf->meta[cellp]) |
-          static_cast<uint16_t>(((c >> 7) & 7) << 7));
-      buf->kept_idx.push_back(p);
-      buf->slot_flat.push_back(slot);
-    }
+  for (size_t ri = 0; ri < ranges.size(); ++ri) {
+    buf->kept_idx.insert(buf->kept_idx.end(), kept_r[ri].begin(),
+                         kept_r[ri].end());
+    buf->slot_flat.insert(buf->slot_flat.end(), slot_r[ri].begin(),
+                          slot_r[ri].end());
+    buf->spill_idx.insert(buf->spill_idx.end(), spill_r[ri].begin(),
+                          spill_r[ri].end());
   }
   *out_ntiles = ntiles;
   *out_nkept = static_cast<int64_t>(buf->kept_idx.size());

@@ -129,7 +129,7 @@ def _run(window_ids, gpk, x, meta, vals, *, ntiles, nslices, n,
 
 
 def _kernel_v1_df(w_ref, gpk_ref, xhi_ref, xlo_ref, meta_ref, vhi_ref,
-                  vlo_ref, ohi_ref, olo_ref):
+                  vlo_ref, ohi_ref, olo_ref, *, vlo16: bool = False):
     """v1 (one tile per grid step) double-float body.
 
     The distributed SELL-8W tier pads per-shard tile streams to a common
@@ -152,7 +152,7 @@ def _kernel_v1_df(w_ref, gpk_ref, xhi_ref, xlo_ref, meta_ref, vhi_ref,
     xl = jnp.take_along_axis(
         jnp.take_along_axis(xlo_ref[:], sidx, axis=0), ridx, axis=1)
     vh = vhi_ref[0]
-    vl = vlo_ref[0]
+    vl = _df16_decode(vh, vlo_ref[0]) if vlo16 else vlo_ref[0]
     ph, pe = _two_product(vh, xh)
     plo = pe + vh * xl + vl * xh
     shi, slo = _df_sublane_total(ph, plo)
@@ -166,9 +166,9 @@ def _kernel_v1_df(w_ref, gpk_ref, xhi_ref, xlo_ref, meta_ref, vhi_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("ntiles", "nslices", "n",
-                                             "interpret"))
+                                             "interpret", "vlo16"))
 def _run_df_v1(window_ids, gpk, x, meta, vals_hi, vals_lo, *, ntiles,
-               nslices, n, interpret=False):
+               nslices, n, interpret=False, vlo16=False):
     n_pad = -(-n // WINDOW) * WINDOW
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
@@ -189,7 +189,7 @@ def _run_df_v1(window_ids, gpk, x, meta, vals_hi, vals_lo, *, ntiles,
     )
     with jax.enable_x64(False):   # Mosaic rejects x64-promoted indices
         ohi, olo = pl.pallas_call(
-            _kernel_v1_df,
+            functools.partial(_kernel_v1_df, vlo16=vlo16),
             out_shape=[jax.ShapeDtypeStruct((ngroups, SUB, LANES),
                                             jnp.float32)] * 2,
             grid_spec=grid_spec,
@@ -513,7 +513,8 @@ def _run_v2w_slot(tinfo, ginfo, x, meta, vals, pal, *, g, nw, value_mode,
     return out
 
 
-def _make_kernel_v2w_df(g: int, nw: int, palette: bool, slot_mode: bool):
+def _make_kernel_v2w_df(g: int, nw: int, palette: bool, slot_mode: bool,
+                        vlo16: bool = False):
     """Double-float body with windowed DMAs — f64 past VMEM residency.
 
     Covers BOTH row mode (the "v2w has no double-float path yet" gap,
@@ -576,7 +577,8 @@ def _make_kernel_v2w_df(g: int, nw: int, palette: bool, slot_mode: bool):
                 vl = jnp.take_along_axis(pallo_ref[:], code, axis=1)
             else:
                 vh = vhi_ref[k]
-                vl = vlo_ref[k]
+                vl = (_df16_decode(vh, vlo_ref[k]) if vlo16
+                      else vlo_ref[k])
             ph, pe = _two_product(vh, xh)
             plo = pe + vh * xl + vl * xh
             if slot_mode:
@@ -599,9 +601,11 @@ def _make_kernel_v2w_df(g: int, nw: int, palette: bool, slot_mode: bool):
 
 @functools.partial(jax.jit, static_argnames=("g", "nw", "palette",
                                              "slot_mode", "nsteps",
-                                             "nslices", "n", "interpret"))
+                                             "nslices", "n", "interpret",
+                                             "vlo16"))
 def _run_v2w_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g, nw,
-                palette, slot_mode, nsteps, nslices, n, interpret=False):
+                palette, slot_mode, nsteps, nslices, n, interpret=False,
+                vlo16=False):
     bundle = WINDOW * nw
     n_pad = -(-n // bundle) * bundle
     if n_pad != n:
@@ -637,7 +641,7 @@ def _run_v2w_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g, nw,
     )
     with jax.enable_x64(False):
         ohi, olo = pl.pallas_call(
-            _make_kernel_v2w_df(g, nw, palette, slot_mode),
+            _make_kernel_v2w_df(g, nw, palette, slot_mode, vlo16),
             out_shape=[jax.ShapeDtypeStruct((ngroups, SUB, LANES),
                                             jnp.float32)] * 2,
             grid_spec=grid_spec,
@@ -688,10 +692,11 @@ def build_sell8w_v2w_fn(packed, g: int = 16, binary: bool = False,
     m, n, nsteps, nslices = v2.m, v2.n, v2.nsteps, v2.nslices
     G = v2.g
 
-    if value_mode in ("df", "palette_df"):
+    if value_mode in ("df", "df16", "palette_df"):
         # double-float row mode with windowed DMAs — the f64 large-n tier
         # (closes round-2's "v2w has no double-float path yet")
         is_pal = value_mode == "palette_df"
+        vlo16 = value_mode == "df16"
         vals_lo = (jnp.asarray(v2.vals_lo) if v2.vals_lo is not None
                    else None)
         pal_lo = (jnp.asarray(np.tile(v2.palette_lo[None, :], (SUB, 1)))
@@ -704,7 +709,8 @@ def build_sell8w_v2w_fn(packed, g: int = 16, binary: bool = False,
                 dummy if is_pal else vals, dummy if is_pal else vals_lo,
                 pal if is_pal else dummy, pal_lo if is_pal else dummy,
                 g=G, nw=1, palette=is_pal, slot_mode=False,
-                nsteps=nsteps, nslices=nslices, n=n, interpret=interpret)
+                nsteps=nsteps, nslices=nslices, n=n, interpret=interpret,
+                vlo16=vlo16)
             return out.reshape(-1)[:m]
 
         return fn_df
@@ -742,6 +748,18 @@ def _two_product(a, b):
     return p, e
 
 
+def _df16_decode(vh, vq):
+    """Expand a df16 lo plane: vlo = vq · floor-pow2(|vh|) · 2^-39.
+
+    The scale rides vh's exponent bits (bitcast + mask — no extra stream);
+    formats/sell8w.df16_encode_lo is the matching encoder.  Subnormal/zero
+    vh decodes to scale 0 (the encoder wrote q = 0 for those slots)."""
+    bits = jax.lax.bitcast_convert_type(vh, jnp.int32)
+    pulse = jax.lax.bitcast_convert_type(bits & 0x7F800000, jnp.float32)
+    return vq.astype(jnp.int32).astype(jnp.float32) * (
+        pulse * jnp.float32(2.0 ** -39))
+
+
 def _df_sublane_total(ph, plo):
     """Butterfly EFT reduction across sublanes: after 3 roll rounds every
     sublane of the returned (hi, lo) pair holds the compensated total of
@@ -759,7 +777,7 @@ def _df_sublane_total(ph, plo):
 def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
                   vhi_ref, vlo_ref, palhi_ref, pallo_ref, ohi_ref, olo_ref,
                   *, g: int, palette: bool, slot_mode: bool = False,
-                  nw: int = 1):
+                  nw: int = 1, vlo16: bool = False):
     """Double-float (f64 ≈ two f32) v2 body — the f64 Pallas tier.
 
     The reference is f64-first (include/spmv.h:49); TPU vector units have no
@@ -816,7 +834,8 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
             vl = jnp.take_along_axis(pallo_ref[:], code, axis=1)
         else:
             vh = vhi_ref[k]
-            vl = vlo_ref[k]
+            vl = (_df16_decode(vh, vlo_ref[k]) if vlo16
+                  else vlo_ref[k])
         ph, pe = _two_product(vh, xh)
         plo = pe + vh * xl + vl * xh
         if slot_mode:
@@ -838,10 +857,11 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
 
 @functools.partial(jax.jit, static_argnames=("g", "palette", "nsteps",
                                              "nslices", "n", "interpret",
-                                             "slot_mode", "nw", "planes"))
+                                             "slot_mode", "nw", "planes",
+                                             "vlo16"))
 def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
                palette, nsteps, nslices, n, interpret=False,
-               slot_mode=False, nw=1, planes=False):
+               slot_mode=False, nw=1, planes=False, vlo16=False):
     n_pad = -(-n // (WINDOW * nw)) * (WINDOW * nw)
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
@@ -864,7 +884,7 @@ def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
             dummy if palette else vhi, dummy if palette else vlo,
             palhi if palette else dummy, pallo if palette else dummy)
     kern = functools.partial(_kernel_v2_df, g=g, palette=palette,
-                             slot_mode=slot_mode, nw=nw)
+                             slot_mode=slot_mode, nw=nw, vlo16=vlo16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -921,18 +941,19 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False,
     m, n, nsteps, nslices = v2.m, v2.n, v2.nsteps, v2.nslices
     value_mode, G = v2.value_mode, v2.g
 
-    if value_mode in ("df", "palette_df"):
+    if value_mode in ("df", "df16", "palette_df"):
         vals_lo = (jnp.asarray(v2.vals_lo) if v2.vals_lo is not None
                    else None)
         pal_lo = _bcast(v2.palette_lo)
         is_pal = value_mode == "palette_df"
+        vlo16 = value_mode == "df16"
 
         if planes:
             def fn_planes(x):
                 oh, ol = _run_v2_df(
                     tinfo, ginfo, x, meta, vals, vals_lo, pal, pal_lo,
                     g=G, palette=is_pal, nsteps=nsteps, nslices=nslices,
-                    n=n, interpret=interpret, planes=True)
+                    n=n, interpret=interpret, planes=True, vlo16=vlo16)
                 return oh.reshape(-1)[:m], ol.reshape(-1)[:m]
 
             return fn_planes
@@ -940,7 +961,8 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False,
         def fn(x):
             out = _run_v2_df(tinfo, ginfo, x, meta, vals, vals_lo, pal,
                              pal_lo, g=G, palette=is_pal, nsteps=nsteps,
-                             nslices=nslices, n=n, interpret=interpret)
+                             nslices=nslices, n=n, interpret=interpret,
+                             vlo16=vlo16)
             return out.reshape(-1)[:m]
 
         return fn
@@ -1031,12 +1053,13 @@ def build_sell8d_fn(packed, interpret: bool = False):
                          + sliced + (s1 - s0, b1 - b0 + 1, b0))
         return parts
 
-    if value_mode in ("df", "palette_df"):
+    if value_mode in ("df", "df16", "palette_df"):
         # double-float f64 slot mode (aligned hi/lo planes from the pack)
         vlo = (jnp.asarray(packed.vals_lo)
                if packed.vals_lo is not None else None)
         pallo = tile_pal(packed.palette_lo)
         is_pal = value_mode == "palette_df"
+        vlo16 = value_mode == "df16"
         dummy = jnp.zeros((SUB, LANES), jnp.float32)
         parts = _tile_parts(meta, vals, vlo)
 
@@ -1051,7 +1074,8 @@ def build_sell8d_fn(packed, interpret: bool = False):
                         pal if is_pal else dummy,
                         pallo if is_pal else dummy,
                         g=G, palette=is_pal, nsteps=nst, nslices=nsl,
-                        n=n, interpret=interpret, slot_mode=True, nw=nw)
+                        n=n, interpret=interpret, slot_mode=True, nw=nw,
+                        vlo16=vlo16)
                 if out is None:
                     out = o
                 else:

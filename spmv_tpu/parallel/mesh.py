@@ -46,6 +46,7 @@ __all__ = ["DistSpmvPlan", "build_dist_plan", "dist_spmv",
            "DistDiaPlan", "build_dist_dia_plan", "dist_dia_spmv",
            "DistSell8WPlan", "build_dist_sell8w_plan", "dist_sell8w_spmv",
            "DistSell8DPlan", "build_dist_sell8d_plan", "dist_sell8d_spmv",
+           "DistAutoPlan", "build_dist_auto", "dist_auto_spmv",
            "make_mesh_1d"]
 
 
@@ -1171,3 +1172,204 @@ def dist_sell8d_spmv(plan: DistSell8DPlan, x) -> jax.Array:
         y = y.at[jnp.asarray(rows.astype(INT_DTYPE))].add(
             jnp.asarray(vls) * x_full[jnp.asarray(cols.astype(INT_DTYPE))])
     return y
+
+
+# ---------------------------------------------------------------------------
+# Distributed AUTO — one-call mesh handle (VERDICT round-3 item 5)
+#
+# The single-chip inspector fulfills the reference's promised-but-empty
+# auto-tuner (README.md:222-223) on one device; this extends it across the
+# mesh: featurize once, pick the dist plan family (DIA / SELL-8W / SELL-8D /
+# row-split hybrid / scan) with the SAME gates as inspector._decide and
+# handle._plan_windowed, and pick x placement (replicated / allgather /
+# halo) from the measured column spread — the reference's NUMA sample
+# (numa.c:268-439) makes the user hand-pick both.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistAutoPlan:
+    """A mesh SpMV plan chosen automatically; call it like a function."""
+
+    kind: str                # "dia" | "sell8w" | "sell8d" | "hybrid" | "scan"
+    x_mode: str
+    m: int
+    n: int
+    nnz: int
+    parts: dict
+    value_mode: Optional[str] = None
+    max_pad: float = 0.0
+
+    def __call__(self, x) -> jax.Array:
+        return dist_auto_spmv(self, x)
+
+
+def _auto_x_mode(a: CsrMatrix, ndev: int) -> str:
+    """Pick x placement from the data.
+
+    halo: square matrix whose columns stay within ±1 x-block of their row
+    block (banded / locality-reordered — the ppermute ring moves only
+    O(mr) per shard and overlaps the local stream, PERFNOTES.md "halo
+    comm/compute overlap").  replicated: small x (broadcast cost ≈ one
+    shard's stream).  allgather: everything else — x sharded, gathered
+    over ICI inside the shard.
+    """
+    if a.m == a.n and a.nnz and ndev > 2:
+        mr = -(-a.m // ndev)
+        rows = np.repeat(np.arange(a.m, dtype=np.int64),
+                         a.row_lengths)
+        spread = int(np.abs(a.colidx.astype(np.int64) - rows).max())
+        if spread <= mr:
+            return "halo"
+    return "replicated" if a.n <= 1_000_000 else "allgather"
+
+
+def build_dist_auto(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
+                    x_mode: str = "auto",
+                    interpret: bool = False) -> DistAutoPlan:
+    """One-call distributed handle: pick the plan family AND x placement.
+
+    Gates mirror the single-chip AUTO ladder (inspector._decide +
+    handle._plan_windowed, dtype-aware costs): banded → dist DIA;
+    windowed pad ≤ threshold → dist SELL-8W; scattered → dist SELL-8D;
+    heavy-tailed mixes → the dist row-split hybrid (dense 8W part +
+    light 8D part per shard, folded by one small scatter-add — the
+    single-chip plan composed from per-part dist builders); pairs-floor
+    hopeless → the exact-nnz scan.  Every Pallas builder falls back down
+    the ladder on ValueError, ending at the scan (which serves any
+    matrix/dtype).
+    """
+    ndev = mesh.shape[axis]
+    xm = _auto_x_mode(a, ndev) if x_mode == "auto" else x_mode
+
+    def _with_fallback(build, *args, **kw):
+        # halo needs structure; allgather/replicated always assemble —
+        # degrade x placement rather than fail the family
+        modes = [xm] + [m for m in ("allgather", "replicated")
+                        if m != xm]
+        err = None
+        for m in modes:
+            try:
+                return build(*args, x_mode=m, **kw), m
+            except ValueError as e:
+                err = e
+        raise err
+
+    pallas_ok = np.dtype(a.dtype) in (np.dtype(np.float32),
+                                      np.dtype(np.float64))
+    if a.nnz and pallas_ok:
+        from ..formats.dia import dia_profile
+        from ..formats.sell8w import WINDOW, estimate_sell8w_tiles
+        from ..formats.sell8d import (cost_tables, dense_tile_ns,
+                                      estimate_sell8d_auto, prepare_hybrid)
+        from ..inspector import _pairs_floor_pad
+        df = np.dtype(a.dtype) == np.dtype(np.float64)
+        ndiags, fill = dia_profile(a)
+        if ndiags and ndiags <= 256 and fill >= 0.3:
+            try:
+                plan, m_used = _with_fallback(
+                    build_dist_dia_plan, a, mesh, axis)
+                return DistAutoPlan(kind="dia", x_mode=m_used, m=a.m,
+                                    n=a.n, nnz=a.nnz, parts={"dia": plan})
+            except ValueError:
+                pass
+        if _pairs_floor_pad(a) <= 32.0:
+            t8d, _cap, spilled, nw = estimate_sell8d_auto(a, nw=None)
+            pad8d = t8d * WINDOW / a.nnz if t8d else float("inf")
+            if spilled > 0.02 * a.nnz:
+                pad8d = float("inf")
+            t8w = estimate_sell8w_tiles(a)
+            pad8w = t8w * WINDOW / a.nnz if t8w else float("inf")
+            ts_tab, spill_ns = cost_tables(False, df)
+            cost_8w = (t8w * dense_tile_ns(df) if t8w else float("inf"))
+            cost_8d = (t8d * ts_tab[nw] + spilled * spill_ns
+                       if pad8d < float("inf") else float("inf"))
+            prep = None
+            if min(pad8w, pad8d) > 4.0:
+                prep = prepare_hybrid(a)
+                if (prep is not None
+                        and (prep.cost >= 0.85 * min(cost_8w, cost_8d)
+                             or prep.spilled > 0.02 * a.nnz)):
+                    prep = None
+            if prep is not None:
+                try:
+                    # sub-parts are rectangular (dense is compact k×n) —
+                    # halo's square requirement falls back inside
+                    dense_plan, mu1 = _with_fallback(
+                        build_dist_sell8w_plan, prep.dense_sorted, mesh,
+                        axis, max_pad_ratio=96.0, interpret=interpret)
+                    # per-shard pads inflate past the global estimate
+                    # (shard boundaries split slices/pairs), so the light
+                    # part's allowance is just the HBM cap under a 96
+                    # ceiling — the prep.cost-vs-alternatives gate above
+                    # already rejected genuinely bad hybrids
+                    allow_s = min(96.0,
+                                  6.7e8 / max(prep.sparse.nnz, 1))
+                    light_plan, mu2 = _with_fallback(
+                        build_dist_sell8d_plan, prep.sparse, mesh, axis,
+                        nw=prep.nw, max_pad_ratio=allow_s,
+                        interpret=interpret)
+                    return DistAutoPlan(
+                        kind="hybrid", x_mode=f"{mu1}/{mu2}", m=a.m,
+                        n=a.n, nnz=a.nnz,
+                        parts={"dense": dense_plan, "light": light_plan,
+                               "fold_rows": jnp.asarray(
+                                   prep.fold_rows.astype(INT_DTYPE))},
+                        value_mode=light_plan.value_mode,
+                        max_pad=prep.tiles * WINDOW / a.nnz)
+                except ValueError:
+                    pass
+            if pad8w <= 32.0 and cost_8w <= cost_8d:
+                try:
+                    plan, m_used = _with_fallback(
+                        build_dist_sell8w_plan, a, mesh, axis,
+                        max_pad_ratio=32.0, interpret=interpret)
+                    return DistAutoPlan(
+                        kind="sell8w", x_mode=m_used, m=a.m, n=a.n,
+                        nnz=a.nnz, parts={"sell8w": plan},
+                        max_pad=plan.max_pad)
+                except ValueError:
+                    pass
+            if pad8d <= 32.0:
+                try:
+                    plan, m_used = _with_fallback(
+                        build_dist_sell8d_plan, a, mesh, axis, nw=nw,
+                        interpret=interpret)
+                    return DistAutoPlan(
+                        kind="sell8d", x_mode=m_used, m=a.m, n=a.n,
+                        nnz=a.nnz, parts={"sell8d": plan},
+                        value_mode=plan.value_mode, max_pad=plan.max_pad)
+                except ValueError:
+                    pass
+            if pad8w <= 32.0:
+                try:
+                    plan, m_used = _with_fallback(
+                        build_dist_sell8w_plan, a, mesh, axis,
+                        max_pad_ratio=32.0, interpret=interpret)
+                    return DistAutoPlan(
+                        kind="sell8w", x_mode=m_used, m=a.m, n=a.n,
+                        nnz=a.nnz, parts={"sell8w": plan},
+                        max_pad=plan.max_pad)
+                except ValueError:
+                    pass
+    # the exact-nnz scan serves any matrix/dtype
+    plan, m_used = _with_fallback(build_dist_plan, a, mesh, axis)
+    return DistAutoPlan(kind="scan", x_mode=m_used, m=a.m, n=a.n,
+                        nnz=a.nnz, parts={"scan": plan})
+
+
+def dist_auto_spmv(plan: DistAutoPlan, x) -> jax.Array:
+    """Execute a :func:`build_dist_auto` plan."""
+    p = plan.parts
+    if plan.kind == "dia":
+        return dist_dia_spmv(p["dia"], x)
+    if plan.kind == "sell8w":
+        return dist_sell8w_spmv(p["sell8w"], x)
+    if plan.kind == "sell8d":
+        return dist_sell8d_spmv(p["sell8d"], x)
+    if plan.kind == "hybrid":
+        y = dist_sell8d_spmv(p["light"], x)
+        yd = dist_sell8w_spmv(p["dense"], x)
+        k = p["dense"].m
+        return y.at[p["fold_rows"]].add(yd[:k].astype(y.dtype))
+    return dist_spmv(p["scan"], x)

@@ -45,13 +45,21 @@ def wait_for_backend(retries: int = 3, backoff: float = 30.0,
 
     Probes ``jax.default_backend()`` up to ``retries + 1`` times with
     ``backoff`` seconds between attempts (the tunnel's observed flake
-    window).  Returns the last probe's result even when it is "none" or
-    not ``want`` — callers degrade rather than crash.
+    window).  Returns as soon as ANY backend initializes — even one that
+    is not ``want`` (``want`` only labels the verbose log): xla_bridge
+    caches a successful resolution, so further probes cannot change the
+    answer.  Returns "none" when every attempt fails — callers degrade
+    rather than crash.
     """
     import jax
     got = safe_default_backend()
     for attempt in range(retries):
-        if got != "none" and (want is None or got == want):
+        if got != "none":
+            # only a FAILED init can be retried: once any backend is up,
+            # xla_bridge caches the resolved answer and (deliberately —
+            # live device arrays) we never clear it, so re-probing for
+            # ``want`` would just burn retries·backoff re-reading the
+            # cache (ADVICE round-3).
             return got
         if verbose:
             import sys
@@ -59,15 +67,13 @@ def wait_for_backend(retries: int = 3, backoff: float = 30.0,
                   f"{attempt + 1}/{retries} in {backoff:.0f}s",
                   file=sys.stderr, flush=True)
         time.sleep(backoff)
-        if got == "none":
-            # a failed init is cached by xla_bridge; clear it so the retry
-            # actually re-contacts the device plugin.  Only when NO backend
-            # initialized — clear_backends invalidates live device arrays,
-            # and a live (non-want) backend may already be holding some.
-            try:
-                import jax.extend as jex
-                jex.backend.clear_backends()
-            except Exception:  # noqa: BLE001 — best-effort cache clear
-                pass
+        # a failed init is cached by xla_bridge; clear it so the retry
+        # actually re-contacts the device plugin (safe here: NO backend
+        # initialized, so no live device arrays to invalidate)
+        try:
+            import jax.extend as jex
+            jex.backend.clear_backends()
+        except Exception:  # noqa: BLE001 — best-effort cache clear
+            pass
         got = safe_default_backend()
     return got

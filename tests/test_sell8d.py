@@ -244,8 +244,8 @@ def test_f64_double_float_slot_mode():
     a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx, vals)
     for nw in (1, 4):
         p, r = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05, nw=nw)
-        assert p.value_mode == "df"
-        assert p.vals_lo is not None
+        assert p.value_mode == "df16"
+        assert p.vals_lo is not None and p.vals_lo.dtype == np.int16
         fn = build_sell8d_fn(p, interpret=True)
         x = rng.standard_normal(a.n)
         y = np.asarray(fn(x)).astype(np.float64)
