@@ -53,6 +53,10 @@ BUILTIN_MATRICES = {
     "uniform10k": lambda dtype: _gen("uniform", dtype, 10_000),
     "clustered200k": lambda dtype: _gen("clustered", dtype, 200_000),
     "blocky": lambda dtype: _gen("blocky", dtype, 0),
+    # the bench.py round-3+ additions, mirrored here so the CSV sweep
+    # covers the full driver set (webbase stand-in: no-egress environment)
+    "webbase1m": lambda dtype: _gen("webbase", dtype, 1_000_000),
+    "scattered4m": lambda dtype: _gen("scattered4m", dtype, 4_000_000),
 }
 
 
@@ -66,6 +70,12 @@ def _gen(kind: str, dtype, m: int) -> CsrMatrix:
         return generate.power_law(m, m, 40 * m, dtype=dtype, seed=2)
     if kind == "clustered":
         return generate.clustered(m, m, 32, spread=512, dtype=dtype, seed=9)
+    if kind == "webbase":
+        return generate.webbase_like(m, m, 3_100_000, dtype=dtype, seed=11)
+    if kind == "scattered4m":
+        # the round-3 chunked-slot scale case (4M rows, 32M nnz, n past
+        # VMEM residency) — the 75.6 s predeal outlier's config
+        return generate.random_uniform(m, 262_144, 8, dtype=dtype, seed=13)
     if kind == "blocky":
         return generate.block_random(16, 16, blocks_per_row=4, fill=0.4,
                                      dtype=dtype, seed=5)

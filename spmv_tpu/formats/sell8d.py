@@ -157,6 +157,34 @@ def _cost_cap(sizes: np.ndarray, dmax_per_pair: np.ndarray,
     return int(d[np.argmin(cost)])
 
 
+def _pair_spill_set(pairs_all, dcap_all, kept_all, tile_ns, spill_ns,
+                    budget):
+    """Pairs worth spilling whole (round 4): their entire KEPT payload
+    costs less on the XLA straggler path than their tiles.
+
+    A pair with kept nnz s (= Σ_groups min(size, cap)) and capped depth
+    d pays d·tile_ns as tiles or s·spill_ns as stragglers; isolated
+    scattered links (the webbase Zipf tail: s = d = 1) pay a whole
+    1024-slot tile each without this rule.  Best win first, cumulative
+    spill ≤ ``budget`` nnz (the max_spill allowance left after the rank
+    tail) so the rule never pushes a previously-valid pack over the
+    spill gate.  Returns a SORTED pair-id array or None.
+    """
+    if budget <= 0:
+        return None
+    cand = kept_all * spill_ns < dcap_all * tile_ns
+    if not cand.any():
+        return None
+    ci = np.nonzero(cand)[0]
+    win = dcap_all[ci] * tile_ns - kept_all[ci] * spill_ns
+    order = np.argsort(-win, kind="stable")
+    take = np.cumsum(kept_all[ci][order]) <= budget
+    sel = ci[order[take]]
+    if not len(sel):
+        return None
+    return np.sort(pairs_all[sel])
+
+
 def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
                   force_value_mode, palette_values):
     """Fill the value planes for a placed tile stream.
@@ -335,7 +363,7 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
         nat = pack_sell8d_native(
             m, n, a.rowptr, a.colidx, nw=nw, g=g,
             depth_cap=-1 if depth_cap == "auto" else int(depth_cap),
-            tile_ns=tns_tab[nw], spill_ns=spill_ns)
+            tile_ns=tns_tab[nw], spill_ns=spill_ns, max_spill=max_spill)
         if nat is not None:
             (tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx,
              _cap) = nat
@@ -401,7 +429,25 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     else:
         cap = int(depth_cap)
 
+    # Pair-level spill (round 4): a pair whose whole kept payload costs
+    # less on the XLA straggler path than its tiles drops entirely — an
+    # isolated scattered link otherwise pays a whole 1024-slot tile for
+    # 1-3 nonzeros (the webbase Zipf-tail pad driver).  See
+    # _pair_spill_set for the budgeting.
+    capped_f = np.minimum(fsizes, cap)
+    kept_all = np.add.reduceat(capped_f[po], pstarts_f)
+    drop_pairs = _pair_spill_set(pairs_all, np.minimum(dmax_all, cap),
+                                 kept_all, tns_tab[nw], spill_ns,
+                                 int(max_spill * len(rows))
+                                 - int((fsizes - capped_f).sum()))
+
     keep0 = rank < cap
+    if drop_pairs is not None:
+        pair_e = (rows >> 10) * nwin + (cols >> (10 + lb))
+        pos = np.searchsorted(drop_pairs, pair_e)
+        keep0 &= ~((pos < len(drop_pairs))
+                   & (drop_pairs[np.minimum(pos, len(drop_pairs) - 1)]
+                      == pair_e))
     idx = np.nonzero(keep0)[0]
     krw, krank = rw[idx], rank[idx]
     krow, kcol = rows[idx], cols[idx]
@@ -857,33 +903,28 @@ _VALS_NS = 4.0
 #: 69.0 ns/tile → (69/0.93 − 2·_VALS_NS)/29 ≈ 2.2x.
 _DF_DENSE_MULT = 1.4
 _DF_SLOT_MULT = 2.2
-#: df16 (int16 lo plane, the default f64 mode): the kernels are
-#: stream-bound, and df16 cuts the slot tile stream 10 → 8 KB and the
-#: dense stream likewise — initial estimates scaled from the round-3 df
-#: calibration by the byte ratio; re-calibrate on-chip when the probe
-#: runs (baselines/probe_df16_onchip.py)
+#: df16 (int16 lo plane, the default f64 mode) slot costs, CALIBRATED
+#: ON-CHIP (baselines/probe_r4_compute.out, uniform100k f64 co-timed on
+#: the same matrix across nw): 26.8-27.3 / 30.7-30.9 / 44.0-44.6 ns/tile
+#: for nw = 2/4/8 — the kernel is COMPUTE-bound (gathers/selects double
+#: per plane, so wider bundles cost MORE than the f32 curve suggests and
+#: nw=4 beats nw=8 despite 23% more pad); nw=1 extrapolated from the nw=2
+#: gather count.  Dense (row-mode) df16 keeps the scaled estimate.
+_TILE_NS_DF16 = {1: 25.0, 2: 27.0, 4: 31.0, 8: 44.0}
 _DF16_DENSE_MULT = 1.25
-_DF16_SLOT_MULT = 1.8
 #: XLA straggler cost per spilled f64 nnz — the gather/segment-sum floor
 #: moves 2x the bytes per element
 _SPILL_NS_DF = 22.0
-
-
-def _df_mult(df, dense: bool):
-    """df selector: False → 1.0; True → the df16 defaults (the mode AUTO
-    actually packs for f64); the literal "df" → the full-f32-lo tables."""
-    if not df:
-        return 1.0
-    if df == "df":
-        return _DF_DENSE_MULT if dense else _DF_SLOT_MULT
-    return _DF16_DENSE_MULT if dense else _DF16_SLOT_MULT
 
 
 def dense_tile_ns(df) -> float:
     """Per-tile cost of the row-mode (SELL-8W v2) kernel — the hybrid
     gate's dense-side unit, co-located with the slot tables so the two
     sides stay calibrated against each other."""
-    return _TILE_NS[1] * _df_mult(df, dense=True)
+    if not df:
+        return _TILE_NS[1]
+    return _TILE_NS[1] * (_DF_DENSE_MULT if df == "df"
+                          else _DF16_DENSE_MULT)
 
 
 def cost_tables(windowed: bool, df):
@@ -894,8 +935,16 @@ def cost_tables(windowed: bool, df):
     base = _TILE_NS_W if windowed else _TILE_NS
     if not df:
         return base, _SPILL_NS
-    mult = _df_mult(df, dense=False)
-    return ({w: v * mult for w, v in base.items()}, _SPILL_NS_DF)
+    if df == "df":
+        return ({w: v * _DF_SLOT_MULT for w, v in base.items()},
+                _SPILL_NS_DF)
+    if windowed:
+        # windowed df16: the f32 windowed DMA curve plus the measured
+        # df16 compute delta plus the second (lo) x-window plane's DMA
+        # (~27 ns per 4 KB window, PERFNOTES)
+        return ({w: _TILE_NS_W[w] + (_TILE_NS_DF16[w] - _TILE_NS[w])
+                 + 27.0 * w for w in base}, _SPILL_NS_DF)
+    return dict(_TILE_NS_DF16), _SPILL_NS_DF
 
 
 def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
@@ -914,7 +963,8 @@ def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
 
 
 def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
-                         windowed: Optional[bool] = None):
+                         windowed: Optional[bool] = None,
+                         max_spill: float = 0.02):
     """(tiles, cap, spilled_nnz[, nw]) under the auto depth-cap rule — the
     inspector's pre-pack cost probe (mirrors pack_sell8d's cap choice).
 
@@ -941,7 +991,7 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         from ..native import sell8d_stats_native
         res = sell8d_stats_native(
             a.m, a.n, a.rowptr, a.colidx,
-            [_tns[w] for w in (1, 2, 4, 8)], _sns)
+            [_tns[w] for w in (1, 2, 4, 8)], _sns, max_spill=max_spill)
     if res is not None:
         tiles4, cap4, spill4 = res
         if nw is not None:
@@ -975,7 +1025,16 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         cap = _cost_cap(sizes, dmax, w, tile_ns=_tns[w])
         capped = np.minimum(sizes, cap)
         spilled = int((sizes - capped).sum())
-        tiles = int(np.minimum(dmax, cap).sum())
+        dcap = np.minimum(dmax, cap)
+        tiles = int(dcap.sum())
+        # mirror the pack-time pair-level spill (round 4) so plan gates
+        # see the tile counts the pack will actually realize
+        kept = np.add.reduceat(capped, pstarts)
+        drop = _pair_spill_set(np.arange(len(dcap)), dcap, kept, _tns[w],
+                               _sns, int(max_spill * a.nnz) - spilled)
+        if drop is not None:
+            tiles -= int(dcap[drop].sum())
+            spilled += int(kept[drop].sum())
         tile_ns = _tns[w]
         if nw is None and npal > (64 >> (w.bit_length() - 1)):
             tile_ns += 1.5 * _VALS_NS if df else _VALS_NS

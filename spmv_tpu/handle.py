@@ -317,7 +317,11 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
     from .ops.pallas_sell import V2_MAX_N
     dev = _dev_put
     mem_cap = 6.7e8 / max(a.nnz, 1)
-    g = 8 if prep.light.nnz < 500_000 else 16
+    # per-slice G padding costs ~g/2 tiles per touched slice; web graphs
+    # have FEW real tiles per slice (webbase light: ~16/slice → g=16
+    # wasted 31% of the stream, measured 25.4k vs 20.5k tiles at g=8)
+    g = (8 if prep.t_light < 24 * max(prep.light.m // 1024, 1)
+         or prep.light.nnz < 500_000 else 16)
     packed, rest8d = sell8d_fmt.pack_sell8d(
         prep.light, max_pad_ratio=_pad_allow(48.0, mem_cap),
         nw=prep.nw, g=g)

@@ -586,8 +586,8 @@ static std::vector<std::pair<int64_t, int64_t>> slice_ranges(
 extern "C" void* sell8d_pack(
     int64_t m, int64_t n, const int32_t* rowptr, const int32_t* colidx,
     int nw, int g, int depth_cap /* <=0: auto */, double tile_ns,
-    double spill_ns, int64_t* out_ntiles, int64_t* out_nkept,
-    int64_t* out_nspill, int* out_cap) {
+    double spill_ns, double max_spill, int64_t* out_ntiles,
+    int64_t* out_nkept, int64_t* out_nspill, int* out_cap) {
   if (m <= 0 || n <= 0 || rowptr[m] <= 0) return nullptr;
   const int64_t nnz = rowptr[m];
   int lb = 0;
@@ -694,6 +694,61 @@ extern "C" void* sell8d_pack(
     }
   }
 
+  // --- pair-level spill (round 4, formats/sell8d._pair_spill_set) --------
+  // pairs whose whole kept payload costs less as XLA stragglers than as
+  // tiles drop entirely (isolated scattered links — the webbase Zipf
+  // tail — otherwise pay a 1024-slot tile for 1-3 nonzeros); budgeted
+  // within max_spill after the rank tail, best win first.
+  std::vector<uint8_t> pair_drop;
+  {
+    std::vector<int32_t> pkept(dmax.size(), 0);
+    std::vector<int64_t> tail_r(ranges.size(), 0);
+    par_for([&](size_t ri) {
+      int64_t tail = 0;
+      for (int64_t r = ranges[ri].first; r < ranges[ri].second; ++r) {
+        const int64_t slice = r >> 10;
+        for (int64_t p = rowptr[r]; p < rowptr[r + 1]; ++p)
+          if (grank[p] == gsize[p] - 1) {
+            const int64_t pr = slice * nb + (colidx[p] >> (10 + lb));
+            const int64_t kept =
+                std::min<int64_t>(gsize[p], cap);
+            pkept[pr] += static_cast<int32_t>(kept);
+            tail += gsize[p] - kept;
+          }
+      }
+      tail_r[ri] = tail;
+    });
+    int64_t tail_n = 0;
+    for (int64_t t : tail_r) tail_n += t;
+    int64_t budget =
+        static_cast<int64_t>(max_spill * static_cast<double>(nnz)) - tail_n;
+    if (budget > 0) {
+      // (win, pair) candidates, best win first, deterministic tie-break
+      std::vector<std::pair<double, int64_t>> cands;
+      for (size_t pr = 0; pr < dmax.size(); ++pr) {
+        if (dmax[pr] <= 0) continue;
+        const int64_t d = std::min<int64_t>(dmax[pr], cap);
+        if (pkept[pr] * spill_ns < d * tile_ns)
+          cands.emplace_back(pkept[pr] * spill_ns - d * tile_ns,
+                             static_cast<int64_t>(pr));
+      }
+      if (!cands.empty()) {
+        std::sort(cands.begin(), cands.end());
+        pair_drop.assign(dmax.size(), 0);
+        int64_t used = 0;
+        bool any = false;
+        for (auto& c : cands) {
+          const int64_t pr = c.second;
+          if (used + pkept[pr] > budget) break;   // prefix, like Python
+          used += pkept[pr];
+          pair_drop[pr] = 1;
+          any = true;
+        }
+        if (!any) pair_drop.clear();
+      }
+    }
+  }
+
   // --- greedy placement ---------------------------------------------------
   // parallel per slice-range: cell keys embed the pair id, so per-range
   // CellMaps (sized to the range, cache-resident) decide EXACTLY like the
@@ -723,6 +778,7 @@ extern "C" void* sell8d_pack(
       const int64_t c = colidx[p];
       const int64_t b = c >> (10 + lb);
       const int64_t pr = (r >> 10) * nb + b;
+      if (!pair_drop.empty() && pair_drop[pr]) continue;  // pair spill
       const int64_t budget = std::min<int64_t>(dmax[pr], cap);
       const int rres = static_cast<int>(c & 127);
       const int8_t s_want = static_cast<int8_t>((c >> 7) & 7);
@@ -900,8 +956,10 @@ extern "C" void sell8d_free(void* h) { delete static_cast<Sell8dBuffer*>(h); }
 // ---------------------------------------------------------------------------
 extern "C" void sell8d_stats(int64_t m, int64_t n, const int32_t* rowptr,
                              const int32_t* colidx, const double* tile_ns,
-                             double spill_ns, int64_t* out_tiles,
-                             int64_t* out_cap, int64_t* out_spill) {
+                             double spill_ns, double max_spill,
+                             int64_t* out_tiles, int64_t* out_cap,
+                             int64_t* out_spill) {
+  const int64_t nnz_total = rowptr[m];
   for (int wi = 0; wi < 4; ++wi) {
     const int lb = wi;                       // nw = 1,2,4,8
     const int64_t bcols = static_cast<int64_t>(kWindow) << lb;
@@ -909,6 +967,9 @@ extern "C" void sell8d_stats(int64_t m, int64_t n, const int32_t* rowptr,
     const int64_t nslices = std::max<int64_t>((m + kWindow - 1) / kWindow,
                                               1);
     std::vector<int32_t> dmax(static_cast<size_t>(nslices) * nb, 0);
+    // per-pair total nnz — the pair-level spill rule needs it after the
+    // cap is chosen (kept = min(sum, sum − tail); tails recomputed below)
+    std::vector<int64_t> psum(static_cast<size_t>(nslices) * nb, 0);
     // size histogram built on the fly (group sizes via per-row counters)
     const int64_t cm = 1024;
     std::vector<int64_t> hs(cm + 2, 0);
@@ -929,6 +990,7 @@ extern "C" void sell8d_stats(int64_t m, int64_t n, const int32_t* rowptr,
           const int64_t s = cnt[b];
           const int64_t pr = slice * nb + b;
           if (s > dmax[pr]) dmax[pr] = static_cast<int32_t>(s);
+          psum[pr] += s;
           if (s > cm + 1) { excess_s += s - (cm + 1); ++hs[cm + 1]; }
           else ++hs[s];
           cnt[b] = 0;
@@ -964,6 +1026,30 @@ extern "C" void sell8d_stats(int64_t m, int64_t n, const int32_t* rowptr,
         bcap = d;
         btiles = tiles;
         bspill = tail;
+      }
+    }
+    // pair-level spill adjustment (round 4, see sell8d_pack): pairs with
+    // dmax ≤ cap (kept == psum exactly there) whose payload is cheaper
+    // as stragglers, best win first within the max_spill budget
+    int64_t budget =
+        static_cast<int64_t>(max_spill * static_cast<double>(nnz_total))
+        - bspill;
+    if (budget > 0) {
+      std::vector<std::pair<double, int64_t>> cands;
+      for (size_t pr = 0; pr < dmax.size(); ++pr) {
+        const int64_t d = dmax[pr];
+        if (d <= 0 || d > bcap) continue;
+        if (psum[pr] * spill_ns < d * tile_ns[wi])
+          cands.emplace_back(psum[pr] * spill_ns - d * tile_ns[wi],
+                             static_cast<int64_t>(pr));
+      }
+      std::sort(cands.begin(), cands.end());
+      for (auto& c : cands) {
+        const int64_t pr = c.second;
+        if (psum[pr] > budget) break;
+        budget -= psum[pr];
+        bspill += psum[pr];
+        btiles -= std::min<int64_t>(dmax[pr], bcap);
       }
     }
     out_tiles[wi] = btiles;

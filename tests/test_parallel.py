@@ -218,7 +218,11 @@ def test_dist_sell8d_f64(x_mode):
     a = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx,
                   rng.standard_normal(a32.nnz))     # >64 distinct → df
     mesh = make_mesh_1d(4)
-    plan = build_dist_sell8d_plan(a, mesh, x_mode=x_mode,
+    # nw pinned at 8: the halo variant relies on 8192-row-aligned shard
+    # blocks swallowing this random matrix's column spread (the round-4
+    # df16 cost tables let the estimator pick narrower bundles, which
+    # shrinks the blocks past a depth-1 ring)
+    plan = build_dist_sell8d_plan(a, mesh, x_mode=x_mode, nw=8,
                                   max_pad_ratio=200.0, interpret=True)
     assert plan.value_mode == "df" and plan.vals_lo is not None
     x = rng.standard_normal(a.n)

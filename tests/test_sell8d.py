@@ -306,3 +306,53 @@ def test_f64_shared_palette_and_forced_modes():
     p2, _ = pack_sell8d(a, max_pad_ratio=100.0, max_spill=0.05,
                         force_value_mode="df")
     assert p2.value_mode == "df" and p2.vals_lo is not None
+
+
+def test_pair_level_spill_drops_isolated_singles():
+    """Round 4: a (slice, bundle) pair whose whole payload is cheaper as
+    XLA stragglers than as tiles must spill entirely (the webbase Zipf
+    tail: isolated links otherwise pay a 1024-slot tile for 1 nonzero),
+    budgeted within max_spill; reconstruction stays exact."""
+    rng = np.random.default_rng(11)
+    m = n = 40_000
+    # local band (good slot structure) + isolated far singles
+    rows_l = np.repeat(np.arange(m, dtype=np.int64), 3)
+    cols_l = np.clip(rows_l + rng.integers(-256, 257, size=len(rows_l)),
+                     0, n - 1)
+    rows_s = rng.choice(m, 300, replace=False).astype(np.int64)
+    cols_s = rng.integers(0, n, 300)        # scattered: ~1 nnz per pair
+    a = CsrMatrix.from_coo(
+        m, n, np.concatenate([rows_l, rows_s]),
+        np.concatenate([cols_l, cols_s]),
+        rng.standard_normal(len(rows_l) + 300).astype(np.float32))
+    p, rest = pack_sell8d(a, max_pad_ratio=48.0, nw=1, max_spill=0.02)
+    assert rest is not None and len(rest[0]) >= 200   # singles spilled
+    # without the rule each single pays a whole tile: pad would be ~10
+    assert p.pad_ratio <= 8.0, p.pad_ratio
+    fn = build_sell8d_fn(p, interpret=True)
+    x = rng.standard_normal(a.n).astype(np.float32)
+    y = np.asarray(fn(x)).astype(np.float64)
+    np.add.at(y, rest[0], (rest[2] * x[rest[1]]).astype(np.float64))
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
+    # native and Python packs agree on the rule (same budget semantics)
+    pp, restp = pack_sell8d(a, max_pad_ratio=48.0, nw=1, max_spill=0.02,
+                            use_native=False)
+    assert restp is not None and len(restp[0]) >= 200
+
+
+def test_pair_spill_set_unit():
+    from spmv_tpu.formats.sell8d import _pair_spill_set
+    pairs = np.array([5, 9, 17], dtype=np.int64)
+    dcap = np.array([1, 3, 1], dtype=np.int64)
+    kept = np.array([1, 3000, 2], dtype=np.int64)
+    # the single wins (1·15 < 1·20); kept=2 at d=1 costs 30 > 20 and the
+    # dense pair costs 45000 — neither spills
+    out = _pair_spill_set(pairs, dcap, kept, 20.0, 15.0, budget=100)
+    assert out is not None and set(out) == {5}
+    # zero budget disables the rule entirely
+    assert _pair_spill_set(pairs, dcap, kept, 20.0, 15.0, 0) is None
+    # at tile_ns=40 the kept=2 pair qualifies too, but a 1-nnz budget
+    # only admits the best-win prefix (pair 5: win 25 vs pair 17: 10)
+    out = _pair_spill_set(pairs, dcap, kept, 40.0, 15.0, budget=1)
+    assert out is not None and set(out) == {5}
