@@ -363,7 +363,10 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
         nat = pack_sell8d_native(
             m, n, a.rowptr, a.colidx, nw=nw, g=g,
             depth_cap=-1 if depth_cap == "auto" else int(depth_cap),
-            tile_ns=tns_tab[nw], spill_ns=spill_ns, max_spill=max_spill)
+            tile_ns=tns_tab[nw], spill_ns=spill_ns,
+            pair_spill_ns=(_PAIR_SPILL_NS_DF if df_in
+                           else _PAIR_SPILL_NS),
+            max_spill=max_spill)
         if nat is not None:
             (tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx,
              _cap) = nat
@@ -437,7 +440,9 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     capped_f = np.minimum(fsizes, cap)
     kept_all = np.add.reduceat(capped_f[po], pstarts_f)
     drop_pairs = _pair_spill_set(pairs_all, np.minimum(dmax_all, cap),
-                                 kept_all, tns_tab[nw], spill_ns,
+                                 kept_all, tns_tab[nw],
+                                 _PAIR_SPILL_NS_DF if df_in
+                                 else _PAIR_SPILL_NS,
                                  int(max_spill * len(rows))
                                  - int((fsizes - capped_f).sum()))
 
@@ -912,9 +917,21 @@ _DF_SLOT_MULT = 2.2
 #: gather count.  Dense (row-mode) df16 keeps the scaled estimate.
 _TILE_NS_DF16 = {1: 25.0, 2: 27.0, 4: 31.0, 8: 44.0}
 _DF16_DENSE_MULT = 1.25
-#: XLA straggler cost per spilled f64 nnz — the gather/segment-sum floor
-#: moves 2x the bytes per element
-_SPILL_NS_DF = 22.0
+#: XLA straggler cost per spilled f64 nnz, measured END-TO-END through
+#: the handle's compact rest path (baselines/probe_webbase_r4b.out:
+#: 768 f64 stragglers cost 0.07 ms at m=100k ≈ 90 ns/nnz — any separate
+#: f64 rest pathway pays m-length f64 tail ops + the XLA per-element
+#: floor).  Pricing it honestly makes the cap chooser carry deep tails
+#: as tiles instead of creating a rest stream that costs more.
+_SPILL_NS_DF = 90.0
+#: pair-level spill price: the measured end-to-end f32 straggler cost
+#: at large m (probe_webbase_r4b.out: 13.2k rest nnz cost 0.37 ms at
+#: m=1M ≈ 28 ns/nnz), well above the 15 ns depth-cap calibration at
+#: m=100k — the round-4 rule prices pair spills conservatively so it
+#: only fires on clear wins (isolated links vs deep tiles), never
+#: 1-tile-vs-1-straggler washes
+_PAIR_SPILL_NS = 28.0
+_PAIR_SPILL_NS_DF = 100.0
 
 
 def dense_tile_ns(df) -> float:
@@ -991,7 +1008,10 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         from ..native import sell8d_stats_native
         res = sell8d_stats_native(
             a.m, a.n, a.rowptr, a.colidx,
-            [_tns[w] for w in (1, 2, 4, 8)], _sns, max_spill=max_spill)
+            [_tns[w] for w in (1, 2, 4, 8)], _sns,
+            pair_spill_ns=(_PAIR_SPILL_NS_DF if df
+                           else _PAIR_SPILL_NS),
+            max_spill=max_spill)
     if res is not None:
         tiles4, cap4, spill4 = res
         if nw is not None:
@@ -1031,7 +1051,9 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         # see the tile counts the pack will actually realize
         kept = np.add.reduceat(capped, pstarts)
         drop = _pair_spill_set(np.arange(len(dcap)), dcap, kept, _tns[w],
-                               _sns, int(max_spill * a.nnz) - spilled)
+                               _PAIR_SPILL_NS_DF if df
+                               else _PAIR_SPILL_NS,
+                               int(max_spill * a.nnz) - spilled)
         if drop is not None:
             tiles -= int(dcap[drop].sum())
             spilled += int(kept[drop].sum())

@@ -77,6 +77,26 @@ def _exec_serial(rows, colidx, vals, x, m):
                                     x.astype(acc), m=m)
 
 
+@functools.partial(jax.jit, static_argnames=("nseg",))
+def _exec_rest_sums(seg_ids, cols, vals, x, nseg):
+    """Per-row straggler sums on the COMPACT straggler domain."""
+    p = vals * x.astype(vals.dtype)[cols]
+    return jax.ops.segment_sum(p, seg_ids, num_segments=max(nseg, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "nseg"))
+def _exec_rest_df(uniq_rows, seg_ids, cols, vals, x, m, nseg):
+    """f64 straggler stream without any m-length f64 scatter (see the
+    rest_rows branch of _make_bound)."""
+    p = vals * x.astype(vals.dtype)[cols]
+    s = jax.ops.segment_sum(p, seg_ids, num_segments=max(nseg, 1))
+    sh = s.astype(jnp.float32)
+    sl = (s - sh.astype(s.dtype)).astype(jnp.float32)
+    zh = jnp.zeros(m, jnp.float32).at[uniq_rows].set(sh)
+    zl = jnp.zeros(m, jnp.float32).at[uniq_rows].set(sl)
+    return zh.astype(jnp.float64) + zl.astype(jnp.float64)
+
+
 @jax.jit
 def _exec_scan_global(colidx_pad, vals_pad, row_start, row_end, x):
     acc = _acc_dtype(vals_pad.dtype)
@@ -304,6 +324,44 @@ def _dev_put(x):
     return r
 
 
+def _build_fold_plan(f_mat: CsrMatrix) -> Dict[str, Any]:
+    """Plan for a binary fold matrix (one 1.0 per column, scatter rows).
+
+    Round-4 finding (baselines/probe_webbase_r4.out): the 8W row-mode
+    fold pays one tile per touched (128-row slice, window) pair — 13.7k
+    real tiles for webbase's 72k fold rows, 0.38 ms of its 1.5 ms total.
+    SLOT-mode (SELL-8D) packs the same matrix one tile per touched
+    (1024-row slice, window) pair at depth ~1 (each output row receives
+    ≤ a few contributions) — ~2k tiles, and the all-1.0 values ride a
+    one-entry palette (2 KB/tile).  The executor is the generic sell8d
+    branch of _make_bound; fold entries the pack spills ride its rest
+    stream (adds on the SMALL fold input, never an m-length op).
+    Falls back to the row-mode 8W fold if the slot pack rejects.
+    """
+    from .formats import sell8d as sell8d_fmt, sell8w as sell8w_fmt
+    try:
+        packed_fd, rest_fd = sell8d_fmt.pack_sell8d(
+            f_mat, max_pad_ratio=1e9, nw=1, g=8, max_spill=1.0)
+        fold_plan: Dict[str, Any] = {
+            "sell8d": packed_fd, "pad_ratio": packed_fd.pad_ratio,
+            "value_mode": packed_fd.value_mode, "nw": packed_fd.nw}
+        if rest_fd is not None:
+            fold_plan["rest_rows"] = jax.device_put(
+                rest_fd[0].astype(INT_DTYPE))
+            fold_plan["rest_cols"] = jax.device_put(
+                rest_fd[1].astype(INT_DTYPE))
+            fold_plan["rest_vals"] = jax.device_put(rest_fd[2])
+        return fold_plan
+    except ValueError:
+        packed_f = sell8w_fmt.pack_sell8w(f_mat, max_pad_ratio=1e9)
+        ngroups_f = max(-(-f_mat.m // (8 * 128)), 1)
+        v2f = sell8w_fmt.plan_v2(
+            packed_f, g=8 if packed_f.ntiles < 12 * ngroups_f else 16)
+        return {"sell8w": packed_f, "sell8w_v2": v2f,
+                "pad_ratio": packed_f.pad_ratio,
+                "value_mode": v2f.value_mode}
+
+
 def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
     """Pack the graph-split plan (hub x-extension + heavy 8W + light 8D).
 
@@ -343,11 +401,19 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
         hm = prep.heavy
         hm2, hrest, hfrac = sell8w_fmt.split_stragglers(hm)
         if hrest is not None and hfrac <= 0.05:
-            # heavy straggler rows live in the compact+sub space — map to
-            # original row ids so the serial stream adds into y directly
-            hr_rows = prep.fold_rows[np.asarray(hrest[0])]
-            rest_parts.append((hr_rows, hrest[1], hrest[2]))
-            hm = hm2
+            # only split when the tiles it saves beat the rest stream's
+            # measured end-to-end cost (~28 ns/nnz at large m — round-4
+            # webbase decomposition: 8k straggler nnz cost 0.22 ms while
+            # saving fewer tiles than that)
+            saved = (sell8w_fmt.estimate_sell8w_tiles(hm)
+                     - sell8w_fmt.estimate_sell8w_tiles(hm2))
+            if saved * 20.0 > len(hrest[0]) * 28.0:
+                # heavy straggler rows live in the compact+sub space —
+                # map to original row ids so the serial stream adds into
+                # y directly
+                hr_rows = prep.fold_rows[np.asarray(hrest[0])]
+                rest_parts.append((hr_rows, hrest[1], hrest[2]))
+                hm = hm2
         packed_h = sell8w_fmt.pack_sell8w(
             hm, max_pad_ratio=_pad_allow(48.0,
                                          6.7e8 / max(hm.nnz, 1)))
@@ -370,11 +436,7 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
                 a.m, hm.m, fold.astype(np.int64),
                 np.arange(hm.m, dtype=np.int64),
                 np.ones(hm.m, dtype=np.float32), sum_duplicates=False)
-            packed_f = sell8w_fmt.pack_sell8w(f_mat, max_pad_ratio=1e9)
-            v2f = sell8w_fmt.plan_v2(packed_f)
-            plan["fold8w"] = {"sell8w": packed_f, "sell8w_v2": v2f,
-                              "pad_ratio": packed_f.pad_ratio,
-                              "value_mode": v2f.value_mode}
+            plan["fold8w"] = _build_fold_plan(f_mat)
         else:
             plan["fold_rows"] = dev(fold.astype(INT_DTYPE))
         if (packed.ntiles + packed_h.ntiles) * sell8w_fmt.WINDOW > 6.7e8:
@@ -572,14 +634,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                                     np.concatenate([ar_k, ar_k + k]),
                                     np.ones(2 * k, dtype=np.float32),
                                     sum_duplicates=False)
-                                packed_f = sell8w_fmt.pack_sell8w(
-                                    f_mat, max_pad_ratio=1e9)
-                                v2f = sell8w_fmt.plan_v2(packed_f)
-                                pd["fold8w"] = {
-                                    "sell8w": packed_f,
-                                    "sell8w_v2": v2f,
-                                    "pad_ratio": packed_f.pad_ratio,
-                                    "value_mode": v2f.value_mode}
+                                pd["fold8w"] = _build_fold_plan(f_mat)
                                 pd["fold_order2"] = dev(np.concatenate(
                                     [o, o + k]).astype(INT_DTYPE))
                             # the sub-part pad gate scales to its own nnz
@@ -951,9 +1006,34 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
             inner = lambda x: (lambda y: y[:m_rows].at[sub_rows]
                                .add(y[m_rows:]))(kern(x))
         if "rest_rows" in p:
-            # hybrid: straggler nonzeros ride the XLA gather path
-            return lambda x: inner(x) + _exec_serial(
-                p["rest_rows"], p["rest_cols"], p["rest_vals"], x, m_rows)
+            # hybrid: straggler nonzeros ride the XLA gather path.  f64
+            # rest must NEVER run an m-length f64 segment/scatter (the
+            # software-f64 path costs ~0.1-0.9 ms regardless of how few
+            # stragglers there are — PERFNOTES round-3 fold ladder):
+            # sum per row on the COMPACT straggler domain in f64, split
+            # the ≤nrest sums into (hi, lo) f32, place them with two
+            # cheap f32 scatter-sets, convert once.  Placement is one
+            # (hi, lo) pair per row — exact to 2^-48, same contract as
+            # the df kernels' own output planes.
+            rr = np.asarray(p["rest_rows"])
+            order = np.argsort(rr, kind="stable")
+            rs = rr[order]
+            first = np.ones(len(rs), dtype=bool)
+            first[1:] = rs[1:] != rs[:-1]
+            seg = np.cumsum(first) - 1
+            uniq = jax.device_put(rs[first].astype(INT_DTYPE))
+            seg_d = jax.device_put(seg.astype(INT_DTYPE))
+            cols_d = jax.device_put(np.asarray(p["rest_cols"])[order])
+            vals_d = jax.device_put(np.asarray(p["rest_vals"])[order])
+            nseg = int(seg[-1]) + 1 if len(seg) else 0
+            if np.dtype(np.asarray(p["rest_vals"]).dtype) == np.float64:
+                return lambda x: inner(x) + _exec_rest_df(
+                    uniq, seg_d, cols_d, vals_d, x, m_rows, nseg)
+            # f32: compact sums + one small scatter-add into y (the
+            # m-length segment_sum cost 0.27 ms at m=1M for 5k stragglers
+            # — baselines/probe_webbase_r4.out)
+            return lambda x: inner(x).at[uniq].add(
+                _exec_rest_sums(seg_d, cols_d, vals_d, x, nseg))
         return inner
     if "coo2" in p:
         from .ops.pallas_coo2 import build_coo2_fn

@@ -123,7 +123,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int32),
             c.c_int, c.c_int, c.c_int, c.c_double, c.c_double,
-            c.c_double,
+            c.c_double, c.c_double,
             c.POINTER(c.c_int64), c.POINTER(c.c_int64),
             c.POINTER(c.c_int64), c.POINTER(c.c_int)]
         lib.sell8d_copy.restype = None
@@ -139,6 +139,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.float64), c.c_double, c.c_double,
+            c.c_double,
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int64)]
@@ -259,7 +260,8 @@ def coo2_place_native(s_arr, r_arr, v_arr, group_w, group_lo, group_hi):
 
 
 def pack_sell8d_native(m, n, rowptr, colidx, nw=1, g=16, depth_cap=-1,
-                       tile_ns=25.0, spill_ns=15.0, max_spill=0.02):
+                       tile_ns=25.0, spill_ns=15.0, pair_spill_ns=28.0,
+                       max_spill=0.02):
     """(tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx, cap) or
     None if the native library is unavailable.
 
@@ -278,9 +280,9 @@ def pack_sell8d_native(m, n, rowptr, colidx, nw=1, g=16, depth_cap=-1,
     ns = ctypes.c_int64(0)
     cap = ctypes.c_int(0)
     h = lib.sell8d_pack(m, n, rowptr, colidx, nw, g, depth_cap,
-                        tile_ns, spill_ns, max_spill, ctypes.byref(nt),
-                        ctypes.byref(nk), ctypes.byref(ns),
-                        ctypes.byref(cap))
+                        tile_ns, spill_ns, pair_spill_ns, max_spill,
+                        ctypes.byref(nt), ctypes.byref(nk),
+                        ctypes.byref(ns), ctypes.byref(cap))
     if not h:
         return None
     try:
@@ -300,7 +302,7 @@ def pack_sell8d_native(m, n, rowptr, colidx, nw=1, g=16, depth_cap=-1,
 
 
 def sell8d_stats_native(m, n, rowptr, colidx, tile_ns, spill_ns,
-                        max_spill=0.02):
+                        pair_spill_ns=28.0, max_spill=0.02):
     """Per-nw (tiles, cap, spilled) arrays for nw = 1,2,4,8, or None."""
     lib = load_native()
     if lib is None:
@@ -311,6 +313,6 @@ def sell8d_stats_native(m, n, rowptr, colidx, tile_ns, spill_ns,
     tiles = np.empty(4, np.int64)
     cap = np.empty(4, np.int64)
     spill = np.empty(4, np.int64)
-    lib.sell8d_stats(m, n, rowptr, colidx, t_ns, spill_ns, max_spill,
-                     tiles, cap, spill)
+    lib.sell8d_stats(m, n, rowptr, colidx, t_ns, spill_ns,
+                     pair_spill_ns, max_spill, tiles, cap, spill)
     return tiles, cap, spill

@@ -586,8 +586,9 @@ static std::vector<std::pair<int64_t, int64_t>> slice_ranges(
 extern "C" void* sell8d_pack(
     int64_t m, int64_t n, const int32_t* rowptr, const int32_t* colidx,
     int nw, int g, int depth_cap /* <=0: auto */, double tile_ns,
-    double spill_ns, double max_spill, int64_t* out_ntiles,
-    int64_t* out_nkept, int64_t* out_nspill, int* out_cap) {
+    double spill_ns, double pair_spill_ns, double max_spill,
+    int64_t* out_ntiles, int64_t* out_nkept, int64_t* out_nspill,
+    int* out_cap) {
   if (m <= 0 || n <= 0 || rowptr[m] <= 0) return nullptr;
   const int64_t nnz = rowptr[m];
   int lb = 0;
@@ -728,8 +729,8 @@ extern "C" void* sell8d_pack(
       for (size_t pr = 0; pr < dmax.size(); ++pr) {
         if (dmax[pr] <= 0) continue;
         const int64_t d = std::min<int64_t>(dmax[pr], cap);
-        if (pkept[pr] * spill_ns < d * tile_ns)
-          cands.emplace_back(pkept[pr] * spill_ns - d * tile_ns,
+        if (pkept[pr] * pair_spill_ns < d * tile_ns)
+          cands.emplace_back(pkept[pr] * pair_spill_ns - d * tile_ns,
                              static_cast<int64_t>(pr));
       }
       if (!cands.empty()) {
@@ -956,9 +957,9 @@ extern "C" void sell8d_free(void* h) { delete static_cast<Sell8dBuffer*>(h); }
 // ---------------------------------------------------------------------------
 extern "C" void sell8d_stats(int64_t m, int64_t n, const int32_t* rowptr,
                              const int32_t* colidx, const double* tile_ns,
-                             double spill_ns, double max_spill,
-                             int64_t* out_tiles, int64_t* out_cap,
-                             int64_t* out_spill) {
+                             double spill_ns, double pair_spill_ns,
+                             double max_spill, int64_t* out_tiles,
+                             int64_t* out_cap, int64_t* out_spill) {
   const int64_t nnz_total = rowptr[m];
   for (int wi = 0; wi < 4; ++wi) {
     const int lb = wi;                       // nw = 1,2,4,8
@@ -1039,8 +1040,8 @@ extern "C" void sell8d_stats(int64_t m, int64_t n, const int32_t* rowptr,
       for (size_t pr = 0; pr < dmax.size(); ++pr) {
         const int64_t d = dmax[pr];
         if (d <= 0 || d > bcap) continue;
-        if (psum[pr] * spill_ns < d * tile_ns[wi])
-          cands.emplace_back(psum[pr] * spill_ns - d * tile_ns[wi],
+        if (psum[pr] * pair_spill_ns < d * tile_ns[wi])
+          cands.emplace_back(psum[pr] * pair_spill_ns - d * tile_ns[wi],
                              static_cast<int64_t>(pr));
       }
       std::sort(cands.begin(), cands.end());

@@ -310,25 +310,29 @@ def test_f64_shared_palette_and_forced_modes():
 
 def test_pair_level_spill_drops_isolated_singles():
     """Round 4: a (slice, bundle) pair whose whole payload is cheaper as
-    XLA stragglers than as tiles must spill entirely (the webbase Zipf
-    tail: isolated links otherwise pay a 1024-slot tile for 1 nonzero),
-    budgeted within max_spill; reconstruction stays exact."""
+    XLA stragglers than as tiles must spill entirely, budgeted within
+    max_spill; reconstruction stays exact.  At the CALIBRATED prices
+    (28 ns/straggler end-to-end vs 20-29 ns resident tiles) the rule
+    only fires where tiles genuinely cost more — the windowed-DMA
+    regime (n > 2M: 47-236 ns/tile), exactly where isolated links
+    otherwise pay a whole 4 KB x-window DMA for 1 nonzero."""
     rng = np.random.default_rng(11)
-    m = n = 40_000
+    m, n = 40_000, 2_500_000
     # local band (good slot structure) + isolated far singles
     rows_l = np.repeat(np.arange(m, dtype=np.int64), 3)
-    cols_l = np.clip(rows_l + rng.integers(-256, 257, size=len(rows_l)),
+    cols_l = np.clip(rows_l * 60 + rng.integers(-256, 257,
+                                                size=len(rows_l)),
                      0, n - 1)
-    rows_s = rng.choice(m, 300, replace=False).astype(np.int64)
-    cols_s = rng.integers(0, n, 300)        # scattered: ~1 nnz per pair
+    rows_s = np.sort(rng.choice(m, 1500, replace=False)).astype(np.int64)
+    cols_s = rng.integers(0, n, 1500)       # scattered: ~1 nnz per pair
     a = CsrMatrix.from_coo(
         m, n, np.concatenate([rows_l, rows_s]),
         np.concatenate([cols_l, cols_s]),
-        rng.standard_normal(len(rows_l) + 300).astype(np.float32))
-    p, rest = pack_sell8d(a, max_pad_ratio=48.0, nw=1, max_spill=0.02)
-    assert rest is not None and len(rest[0]) >= 200   # singles spilled
-    # without the rule each single pays a whole tile: pad would be ~10
-    assert p.pad_ratio <= 8.0, p.pad_ratio
+        rng.standard_normal(len(rows_l) + 1500).astype(np.float32))
+    p, rest = pack_sell8d(a, max_pad_ratio=100.0, nw=1, max_spill=0.02)
+    assert rest is not None and len(rest[0]) >= 1200  # singles spilled
+    # without the rule the 1500 isolated windowed tiles would add ~12 pad
+    assert p.pad_ratio <= 78.0, p.pad_ratio   # no-rule would be ~89
     fn = build_sell8d_fn(p, interpret=True)
     x = rng.standard_normal(a.n).astype(np.float32)
     y = np.asarray(fn(x)).astype(np.float64)
@@ -336,9 +340,9 @@ def test_pair_level_spill_drops_isolated_singles():
     g = spmv_golden(a, x)
     assert np.abs(y - g).max() / np.abs(g).max() < 2e-5
     # native and Python packs agree on the rule (same budget semantics)
-    pp, restp = pack_sell8d(a, max_pad_ratio=48.0, nw=1, max_spill=0.02,
+    pp, restp = pack_sell8d(a, max_pad_ratio=100.0, nw=1, max_spill=0.02,
                             use_native=False)
-    assert restp is not None and len(restp[0]) >= 200
+    assert restp is not None and len(restp[0]) >= 1200
 
 
 def test_pair_spill_set_unit():

@@ -151,11 +151,30 @@ def test_hybrid_df_fold_kernel(monkeypatch):
     assert "fold8w" in pd and "fold_order2" in pd, list(pd)
     assert pd["fold8w"]["value_mode"] in ("palette", "binary"), \
         pd["fold8w"]["value_mode"]
+    # round 4: the fold rides slot-mode 8D (one tile per touched
+    # 1024-row slice instead of per 128-row slice)
+    assert "sell8d" in pd["fold8w"] or "sell8w_v2" in pd["fold8w"]
 
-    # the stacked fold kernel must place d[j] at row fold_rows[j] in
-    # each of its two block-diagonal planes
-    fold_fn = build_sell8w_v2_fn(pd["fold8w"]["sell8w_v2"],
-                                 interpret=True)
+    # the stacked fold plan (kernel + any rest stream) must place d[j]
+    # at row fold_rows[j] in each of its two block-diagonal planes
+    if "sell8d" in pd["fold8w"]:
+        from spmv_tpu.ops.pallas_sell import build_sell8d_fn
+        fp = pd["fold8w"]
+        kern_fn = build_sell8d_fn(fp["sell8d"], interpret=True)
+        if "rest_rows" in fp:
+            rr = np.asarray(fp["rest_rows"])
+            rc = np.asarray(fp["rest_cols"])
+            rv = np.asarray(fp["rest_vals"])
+
+            def fold_fn(d):
+                y = np.asarray(kern_fn(d))
+                np.add.at(y, rr, rv * np.asarray(d)[rc])
+                return y
+        else:
+            fold_fn = kern_fn
+    else:
+        fold_fn = build_sell8w_v2_fn(pd["fold8w"]["sell8w_v2"],
+                                     interpret=True)
     fr = np.asarray(pd["fold_rows"])
     o2 = np.asarray(pd["fold_order2"])
     k = len(fr)
