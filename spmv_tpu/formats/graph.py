@@ -48,7 +48,8 @@ import numpy as np
 
 from ..types import CsrMatrix
 from .sell8w import WINDOW, estimate_sell8w_tiles, split_megarows
-from .sell8d import estimate_sell8d_auto, _TILE_NS, _SPILL_NS
+from .sell8d import (estimate_sell8d_auto, palette_entry_count, _TILE_NS,
+                     _SPILL_NS, _VALS_NS)
 
 __all__ = ["GraphPrep", "prepare_graph_split"]
 
@@ -170,7 +171,24 @@ def prepare_graph_split(a: CsrMatrix,
         light = CsrMatrix(a.m, n_ext, rp_l, cols_r[~hmask], vals[~hmask])
         if light.nnz == 0:
             continue
-        tl, _cap, spilled, nw = estimate_sell8d_auto(light, nw=None)
+        # the graph tier lives on palette value compression (webbase
+        # light tiles are 2 KB meta-only); pick the light bundle width
+        # among PALETTE-FEASIBLE candidates first — round-4 regression:
+        # the generic chooser under-weights the bf16 stream penalty and
+        # picked nw=8 (8-entry palette budget < 24 distinct values),
+        # turning every light tile 2 KB → 4 KB
+        npal = palette_entry_count(light.vals)
+        widths = [w for w in (1, 2, 4, 8)
+                  if npal <= (64 >> (w.bit_length() - 1))] or [1, 2, 4, 8]
+        best_l = None
+        for w in widths:
+            tl_w, _c, sp_w = estimate_sell8d_auto(light, nw=w)
+            tns_w = _TILE_NS[w] + (
+                0.0 if npal <= (64 >> (w.bit_length() - 1)) else _VALS_NS)
+            c_w = tl_w * tns_w + sp_w * _SPILL_NS
+            if best_l is None or c_w < best_l[0]:
+                best_l = (c_w, tl_w, sp_w, w)
+        _cl, tl, spilled, nw = best_l
         cost = (tl * _TILE_NS[nw] + spilled * _SPILL_NS + k * _HUB_NS
                 + (heavy_best[0] if heavy_best else 0.0))
         if best is None or cost < best.cost:

@@ -324,42 +324,44 @@ def _dev_put(x):
     return r
 
 
-def _build_fold_plan(f_mat: CsrMatrix) -> Dict[str, Any]:
-    """Plan for a binary fold matrix (one 1.0 per column, scatter rows).
+def _append_fold_entries(mat: CsrMatrix, fold_rows: np.ndarray,
+                         val_dtype) -> CsrMatrix:
+    """``[mat | F]`` where ``F[fold_rows[j], j] = 1`` — fold by
+    x-extension.
 
-    Round-4 finding (baselines/probe_webbase_r4.out): the 8W row-mode
-    fold pays one tile per touched (128-row slice, window) pair — 13.7k
-    real tiles for webbase's 72k fold rows, 0.38 ms of its 1.5 ms total.
-    SLOT-mode (SELL-8D) packs the same matrix one tile per touched
-    (1024-row slice, window) pair at depth ~1 (each output row receives
-    ≤ a few contributions) — ~2k tiles, and the all-1.0 values ride a
-    one-entry palette (2 KB/tile).  The executor is the generic sell8d
-    branch of _make_bound; fold entries the pack spills ride its rest
-    stream (adds on the SMALL fold input, never an m-length op).
-    Falls back to the row-mode 8W fold if the slot pack rejects.
-    """
-    from .formats import sell8d as sell8d_fmt, sell8w as sell8w_fmt
-    try:
-        packed_fd, rest_fd = sell8d_fmt.pack_sell8d(
-            f_mat, max_pad_ratio=1e9, nw=1, g=8, max_spill=1.0)
-        fold_plan: Dict[str, Any] = {
-            "sell8d": packed_fd, "pad_ratio": packed_fd.pad_ratio,
-            "value_mode": packed_fd.value_mode, "nw": packed_fd.nw}
-        if rest_fd is not None:
-            fold_plan["rest_rows"] = jax.device_put(
-                rest_fd[0].astype(INT_DTYPE))
-            fold_plan["rest_cols"] = jax.device_put(
-                rest_fd[1].astype(INT_DTYPE))
-            fold_plan["rest_vals"] = jax.device_put(rest_fd[2])
-        return fold_plan
-    except ValueError:
-        packed_f = sell8w_fmt.pack_sell8w(f_mat, max_pad_ratio=1e9)
-        ngroups_f = max(-(-f_mat.m // (8 * 128)), 1)
-        v2f = sell8w_fmt.plan_v2(
-            packed_f, g=8 if packed_f.ntiles < 12 * ngroups_f else 16)
-        return {"sell8w": packed_f, "sell8w_v2": v2f,
-                "pad_ratio": packed_f.pad_ratio,
-                "value_mode": v2f.value_mode}
+    The round-4 probes showed EVERY standalone fold kernel pays ~300 ns
+    per grid step and touches ~every output slice, so folding a compact
+    heavy output back costs ~0.3-0.5 ms regardless of tile layout
+    (baselines/probe_r4_fixes3.out ladder).  Instead the fold becomes
+    ordinary 1.0-valued matrix entries in the LIGHT plan — the executor
+    appends the heavy output to the light kernel's input vector per
+    call, and the fold rides the light tiles' existing slices/steps for
+    ~free.  Fold columns land at the END of each row (they exceed every
+    real column id), preserving per-row column order."""
+    m, n = mat.m, mat.n
+    k = len(fold_rows)
+    lens = mat.row_lengths.astype(np.int64)
+    extra = np.bincount(fold_rows, minlength=m).astype(np.int64)
+    rp2 = np.zeros(m + 1, np.int64)
+    np.cumsum(lens + extra, out=rp2[1:])
+    total = int(rp2[-1])
+    cols2 = np.empty(total, dtype=np.int64)
+    vals2 = np.empty(total, dtype=val_dtype)
+    rows_old = np.repeat(np.arange(m, dtype=np.int64), lens)
+    old_pos = rp2[rows_old] + (np.arange(mat.nnz, dtype=np.int64)
+                               - mat.rowptr.astype(np.int64)[rows_old])
+    cols2[old_pos] = mat.colidx
+    vals2[old_pos] = mat.vals
+    order = np.argsort(fold_rows, kind="stable")
+    fr = np.asarray(fold_rows, dtype=np.int64)[order]
+    base = np.arange(k, dtype=np.int64)
+    first = np.ones(k, dtype=bool)
+    first[1:] = fr[1:] != fr[:-1]
+    rank = base - np.maximum.accumulate(np.where(first, base, 0))
+    pos = rp2[fr] + lens[fr] + rank
+    cols2[pos] = n + order                       # column = n + j
+    vals2[pos] = 1.0
+    return CsrMatrix(m, n + k, rp2, cols2.astype(INT_DTYPE), vals2)
 
 
 def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
@@ -380,23 +382,10 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
     # wasted 31% of the stream, measured 25.4k vs 20.5k tiles at g=8)
     g = (8 if prep.t_light < 24 * max(prep.light.m // 1024, 1)
          or prep.light.nnz < 500_000 else 16)
-    packed, rest8d = sell8d_fmt.pack_sell8d(
-        prep.light, max_pad_ratio=_pad_allow(48.0, mem_cap),
-        nw=prep.nw, g=g)
-    light_plan: Dict[str, Any] = {
-        "sell8d": packed, "pad_ratio": packed.pad_ratio,
-        "value_mode": packed.value_mode, "nw": packed.nw,
-    }
-    plan: Dict[str, Any] = {
-        "graph": True, "light": light_plan,
-        "pad_ratio": prep.pad_ratio(a.nnz),
-        "value_mode": packed.value_mode,
-        "heavy_frac": (prep.heavy.nnz / a.nnz
-                       if prep.heavy is not None else 0.0),
-    }
-    if prep.hub_cols is not None:
-        plan["hub_cols"] = dev(prep.hub_cols.astype(INT_DTYPE))
-    rest_parts = [rest8d]
+    rest_parts = []
+    light_mat = prep.light
+    heavy_plan = None
+    fold_k = 0
     if prep.heavy is not None:
         hm = prep.heavy
         hm2, hrest, hfrac = sell8w_fmt.split_stragglers(hm)
@@ -418,28 +407,40 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
             hm, max_pad_ratio=_pad_allow(48.0,
                                          6.7e8 / max(hm.nnz, 1)))
         v2 = sell8w_fmt.plan_v2(packed_h)
-        plan["heavy"] = {"sell8w": packed_h, "sell8w_v2": v2,
-                         "pad_ratio": packed_h.pad_ratio,
-                         "value_mode": v2.value_mode}
-        fold = prep.fold_rows
-        if (len(fold) * 15.0 > 1.5 * len(np.unique(fold >> 7)) * 20.0
-                and hm.m <= V2_MAX_N):
-            # (hm.m gate: the fold kernel's v2 plan needs its x — here yh,
-            # length hm.m — VMEM-resident; past that the scatter-add fold
-            # below still works, ADVICE round-3)
-            # large fold: the XLA scatter-add floor (~15 ns/row) exceeds
-            # the fold-kernel cost — pack F (y[fold[i]] += yh[i]) as a
-            # binary SELL-8W over yh.  Heavy rows are in natural order, so
-            # F is near-diagonal: ~1 tile per slice with a heavy row; all
-            # values 1.0 → palette mode drops the value stream entirely.
-            f_mat = CsrMatrix.from_coo(
-                a.m, hm.m, fold.astype(np.int64),
-                np.arange(hm.m, dtype=np.int64),
-                np.ones(hm.m, dtype=np.float32), sum_duplicates=False)
-            plan["fold8w"] = _build_fold_plan(f_mat)
-        else:
-            plan["fold_rows"] = dev(fold.astype(INT_DTYPE))
-        if (packed.ntiles + packed_h.ntiles) * sell8w_fmt.WINDOW > 6.7e8:
+        heavy_plan = {"sell8w": packed_h, "sell8w_v2": v2,
+                      "pad_ratio": packed_h.pad_ratio,
+                      "value_mode": v2.value_mode}
+        # fold by x-extension (see _append_fold_entries): the heavy
+        # output is appended to the light input per call and the fold
+        # rides the light tiles — every standalone fold variant paid
+        # ~300 ns/grid-step across ~every slice (round-4 probes)
+        light_mat = _append_fold_entries(
+            prep.light, prep.fold_rows,
+            np.asarray(prep.light.vals).dtype)
+        fold_k = hm.m
+    packed, rest8d = sell8d_fmt.pack_sell8d(
+        light_mat, max_pad_ratio=_pad_allow(48.0, mem_cap),
+        nw=prep.nw, g=g)
+    rest_parts.insert(0, rest8d)
+    light_plan: Dict[str, Any] = {
+        "sell8d": packed, "pad_ratio": packed.pad_ratio,
+        "value_mode": packed.value_mode, "nw": packed.nw,
+    }
+    plan: Dict[str, Any] = {
+        "graph": True, "light": light_plan,
+        "pad_ratio": prep.pad_ratio(a.nnz),
+        "value_mode": packed.value_mode,
+        "heavy_frac": (prep.heavy.nnz / a.nnz
+                       if prep.heavy is not None else 0.0),
+    }
+    if prep.hub_cols is not None:
+        plan["hub_cols"] = dev(prep.hub_cols.astype(INT_DTYPE))
+    if heavy_plan is not None:
+        plan["heavy"] = heavy_plan
+        plan["fold_k"] = fold_k
+        if (packed.ntiles
+                + heavy_plan["sell8w"].ntiles) * sell8w_fmt.WINDOW \
+                > 6.7e8:
             raise ValueError("graph plan tile stream exceeds the HBM "
                              "budget")
     parts = [r for r in rest_parts if r is not None]
@@ -608,35 +609,25 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                             pd["m_rows"] = prep.dense_sorted.m
                             pd["fold_rows"] = dev(
                                 prep.fold_rows.astype(INT_DTYPE))
-                            k = len(prep.fold_rows)
+                            sparse_part = prep.sparse
                             if (df and "sell8w_v2" in pd
                                     and "mega_sub_rows" not in pd
-                                    and "rest_rows" not in pd
-                                    and 2 * k <= V2_MAX_N):
-                                # f64 fold: the m-length f64 scatter-add
-                                # costs ~0.9 ms on-chip (probe_fold_df);
-                                # fold the dense part's raw f32 (hi, lo)
-                                # output planes through ONE binary
-                                # near-diagonal 8W kernel instead
-                                # (probe_fold2_df: 1.554 → 0.78 ms marg;
-                                # stacking both planes block-diagonally
-                                # saves the second dispatch + gather).
-                                # Sorted fold targets keep the matrix
-                                # column-monotone → ~1 tile per 128-row
-                                # slice per plane.
-                                o = np.argsort(prep.fold_rows,
-                                               kind="stable")
-                                fr_s = prep.fold_rows[o].astype(np.int64)
-                                ar_k = np.arange(k, dtype=np.int64)
-                                f_mat = CsrMatrix.from_coo(
-                                    2 * mat.m, 2 * k,
-                                    np.concatenate([fr_s, fr_s + mat.m]),
-                                    np.concatenate([ar_k, ar_k + k]),
-                                    np.ones(2 * k, dtype=np.float32),
-                                    sum_duplicates=False)
-                                pd["fold8w"] = _build_fold_plan(f_mat)
-                                pd["fold_order2"] = dev(np.concatenate(
-                                    [o, o + k]).astype(INT_DTYPE))
+                                    and "rest_rows" not in pd):
+                                # f64 fold by X-EXTENSION: the m-length
+                                # f64 scatter-add costs ~0.9 ms on-chip
+                                # (probe_fold_df) and EVERY standalone
+                                # fold kernel pays ~300 ns/grid-step
+                                # across all touched slices (round-4
+                                # probes).  Instead the executor appends
+                                # yh.f64 + yl.f64 (exact: both are f32
+                                # planes) to x and the LIGHT plan's
+                                # 1.0-valued fold entries gather it —
+                                # the EFT kernel re-splits the sum
+                                # losslessly to df grade.
+                                pd["fold_planes_ext"] = True
+                                sparse_part = _append_fold_entries(
+                                    prep.sparse, prep.fold_rows,
+                                    np.float64)
                             # the sub-part pad gate scales to its own nnz
                             # (the whole-plan slot budget was gated above);
                             # the HBM cap still applies per part
@@ -647,7 +638,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                                     / max(prep.sparse.nnz, 1)),
                                 6.7e8 / max(prep.sparse.nnz, 1))
                             psp = _sell8d_plan(
-                                prep.sparse,
+                                sparse_part,
                                 {**extra, "sell8d_nw": prep.nw,
                                  "sell8d_allow": allow_s})
                             return {
@@ -931,22 +922,21 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
         # Independent pallas calls — the scheduler may overlap them.
         pd, psp = p["hybrid"]
         f2 = _make_bound(m, psp, m_rows)
-        if "fold8w" in pd:
-            # f64: fold the dense part's raw f32 (hi, lo) planes through
-            # the stacked binary near-diagonal kernel and convert once —
-            # the naive f64 scatter-add fold costs ~0.9 ms at 100k rows
-            # (baselines/probe_fold2_df.out)
+        if pd.get("fold_planes_ext"):
+            # f64 fold by x-extension: the dense part's raw f32 (hi, lo)
+            # planes sum EXACTLY in f64 (both are f32), the light plan's
+            # 1.0-valued fold entries gather the appended block, and the
+            # EFT kernel re-splits it losslessly — no standalone fold
+            # kernel (~300 ns/grid-step, round-4 probes), no m-length
+            # f64 scatter (~0.9 ms, probe_fold_df)
             from .ops.pallas_sell import build_sell8w_v2_fn
             f1p = build_sell8w_v2_fn(pd["sell8w_v2"], planes=True)
-            fold_fn = _make_bound(m, pd["fold8w"], m_rows)
-            o2 = pd["fold_order2"]
-            mr = m_rows
 
             def hyb_df(x):
                 yh, yl = f1p(x)
-                z = fold_fn(jnp.concatenate([yh, yl])[o2])
-                return (f2(x) + z[:mr].astype(jnp.float64)
-                        + z[mr:].astype(jnp.float64))
+                return f2(jnp.concatenate(
+                    [x, yh.astype(jnp.float64)
+                     + yl.astype(jnp.float64)]))
 
             return hyb_df
         f1 = _make_bound(m, pd, pd.get("m_rows", m_rows))
@@ -955,33 +945,27 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
             return lambda x: f2(x).at[fr].add(f1(x))
         return lambda x: f1(x) + f2(x)
     if "graph" in p:
-        # hub-column x-extension + heavy-row 8W fold + light SELL-8D
+        # hub-column x-extension + heavy 8W part + light SELL-8D
         # (formats/graph.py).  x_ext's prefix IS x, so both natural and
-        # hub-remapped column ids index it; the fold scatter-add touches
-        # only the heavy compact+sub rows (~15 ns/row, never an m-scale
-        # op).
+        # hub-remapped column ids index it; the heavy output folds back
+        # BY X-EXTENSION — it is appended after the hubs and the light
+        # plan's 1.0-valued fold entries gather it (_append_fold_entries;
+        # no standalone fold kernel, no m-scale scatter).
         light_fn = _make_bound(m, p["light"], m_rows)
-        heavy_fn = fold_fn = fr = None
+        heavy_fn = None
         if "heavy" in p:
             m2 = p["heavy"]["sell8w"].m
             heavy_fn = _make_bound(m, p["heavy"], m2)
-            if "fold8w" in p:     # large fold: binary near-diagonal kernel
-                fold_fn = _make_bound(m, p["fold8w"], m_rows)
-            else:
-                fr = p["fold_rows"]
         hub = p.get("hub_cols")
 
         def graph_fn(x):
             x_ext = (jnp.concatenate([x, x[hub]]) if hub is not None
                      else x)
-            y = light_fn(x_ext)
-            if heavy_fn is not None:
-                yh = heavy_fn(x_ext)
-                if fold_fn is not None:
-                    y = y + fold_fn(yh).astype(y.dtype)
-                else:
-                    y = y.at[fr].add(yh.astype(y.dtype))
-            return y
+            if heavy_fn is None:
+                return light_fn(x_ext)
+            yh = heavy_fn(x_ext)
+            return light_fn(jnp.concatenate(
+                [x_ext, yh.astype(x_ext.dtype)]))
 
         return graph_fn
     if "sell8d" in p or "sell8w_v2" in p or "sell8w_v2w" in p \

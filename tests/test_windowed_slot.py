@@ -128,16 +128,18 @@ def test_csr5_f64_lands_on_pallas_plan(monkeypatch):
     assert vm in ("df", "df16", "palette_df"), vm
 
 
-def test_hybrid_df_fold_kernel(monkeypatch):
-    """f64 hybrid folds its dense planes through the binary near-diagonal
-    kernel (handle.py fold8w) instead of an f64 scatter-add — the fold
-    matrix, order, and plane algebra must reconstruct exactly."""
+def test_hybrid_df_fold_by_x_extension(monkeypatch):
+    """f64 hybrid folds its dense output BY X-EXTENSION (round 4): the
+    light plan carries 1.0-valued entries at (fold_rows[j], n + j) and
+    the executor appends yh.f64 + yl.f64 (exact — both f32 planes) to x.
+    No standalone fold kernel (~300 ns/grid-step), no m-length f64
+    scatter (~0.9 ms) — handle.py _append_fold_entries."""
     import jax.numpy as jnp
 
     import spmv_tpu.handle as handle_mod
-    from spmv_tpu.handle import create_handle, _exec_serial
+    from spmv_tpu.handle import create_handle
     from spmv_tpu.types import Method
-    from spmv_tpu.ops.pallas_sell import build_sell8w_v2_fn
+    from spmv_tpu.ops.pallas_sell import build_sell8w_v2_fn, build_sell8d_fn
 
     monkeypatch.setattr(handle_mod, "_is_tpu", lambda: True)
     a32 = generate.power_law(30_000, 30_000, 20 * 30_000,
@@ -148,63 +150,30 @@ def test_hybrid_df_fold_kernel(monkeypatch):
     h = create_handle(a, method=Method.SELL_C_SIGMA)
     assert "hybrid" in h.plan, list(h.plan)
     pd, psp = h.plan["hybrid"]
-    assert "fold8w" in pd and "fold_order2" in pd, list(pd)
-    assert pd["fold8w"]["value_mode"] in ("palette", "binary"), \
-        pd["fold8w"]["value_mode"]
-    # round 4: the fold rides slot-mode 8D (one tile per touched
-    # 1024-row slice instead of per 128-row slice)
-    assert "sell8d" in pd["fold8w"] or "sell8w_v2" in pd["fold8w"]
-
-    # the stacked fold plan (kernel + any rest stream) must place d[j]
-    # at row fold_rows[j] in each of its two block-diagonal planes
-    if "sell8d" in pd["fold8w"]:
-        from spmv_tpu.ops.pallas_sell import build_sell8d_fn
-        fp = pd["fold8w"]
-        kern_fn = build_sell8d_fn(fp["sell8d"], interpret=True)
-        if "rest_rows" in fp:
-            rr = np.asarray(fp["rest_rows"])
-            rc = np.asarray(fp["rest_cols"])
-            rv = np.asarray(fp["rest_vals"])
-
-            def fold_fn(d):
-                y = np.asarray(kern_fn(d))
-                np.add.at(y, rr, rv * np.asarray(d)[rc])
-                return y
-        else:
-            fold_fn = kern_fn
-    else:
-        fold_fn = build_sell8w_v2_fn(pd["fold8w"]["sell8w_v2"],
-                                     interpret=True)
-    fr = np.asarray(pd["fold_rows"])
-    o2 = np.asarray(pd["fold_order2"])
-    k = len(fr)
-    d = np.arange(1, 2 * k + 1, dtype=np.float32)
-    out = np.asarray(fold_fn(jnp.asarray(d[o2])))
-    expect = np.zeros(2 * a.m, np.float32)
-    expect[fr] = d[:k]
-    expect[a.m + fr] = d[k:]
-    np.testing.assert_array_equal(out, expect)
+    assert pd.get("fold_planes_ext"), list(pd)
+    k = len(np.asarray(pd["fold_rows"]))
+    # the light plan's column space includes the k fold columns
+    assert psp["sell8d"].n == a.n + k
 
     # full hybrid df path (interpret executors) vs golden
     f1p = build_sell8w_v2_fn(pd["sell8w_v2"], planes=True,
                              interpret=True)
-    from spmv_tpu.ops.pallas_sell import build_sell8d_fn
     f2i = build_sell8d_fn(psp["sell8d"], interpret=True)
     x = rng.standard_normal(a.n)
-    xj = jnp.asarray(x)
-    y = np.asarray(f2i(xj), dtype=np.float64)
+    yh, yl = f1p(jnp.asarray(x))
+    x2 = np.concatenate([x, np.asarray(yh, dtype=np.float64)
+                         + np.asarray(yl, dtype=np.float64)])
+    x2j = jnp.asarray(x2)
+    y = np.asarray(f2i(x2j), dtype=np.float64)
     if "rest_rows" in psp:
-        y = y + np.asarray(_exec_serial(
-            psp["rest_rows"], psp["rest_cols"], psp["rest_vals"], xj,
-            a.m))
-    yh, yl = f1p(xj)
-    z = np.asarray(fold_fn(jnp.asarray(
-        np.concatenate([np.asarray(yh), np.asarray(yl)])[o2])))
-    y = y + z[:a.m].astype(np.float64) + z[a.m:].astype(np.float64)
+        rr = np.asarray(psp["rest_rows"])
+        rc = np.asarray(psp["rest_cols"])
+        rv = np.asarray(psp["rest_vals"])
+        np.add.at(y, rr, rv * x2[rc])
     g = spmv_golden(a, x)
     scale = max(np.abs(g).max(), 1.0)
     # interpret mode simplifies the EFT chain — f32-level bound here,
-    # the tight df bound is checked on hardware (validate_f64_tiers)
+    # the tight df bound is checked on hardware (probe_r4_fixes)
     np.testing.assert_allclose(y / scale, g / scale, atol=3e-6)
 
 
