@@ -310,7 +310,63 @@ def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
     return value_mode, vals_arr, vals_lo, palette, palette_lo
 
 
-def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
+def _choose_g(slice_tiles: np.ndarray, tile_ns: float,
+              windowed: bool) -> int:
+    """Cost-optimal tiles-per-step under the calibrated step/tile model.
+
+    cost(g) = padded_tiles(g)·tile_ns + steps(g)·_STEP_NS, where padding
+    rounds each slice's tile run up to a multiple of g (min g).  Few
+    tiles per touched slice (web graphs) → padding dominates, pick small
+    g; many → the ~75 ns step cost dominates, pick large g
+    (probe_webbase_r4e: the old always-g=8 heuristic cost webbase
+    0.13 ms/exec).  Windowed-DMA kernels cap at g=16: each step streams
+    g separate x-window bundles through VMEM."""
+    best_g, best_c = 8, None
+    for g in (8, 16) if windowed else (8, 16, 32):
+        t = int(np.maximum(-(-slice_tiles // g) * g, g).sum())
+        c = t * tile_ns + (t // g) * _STEP_NS
+        if best_c is None or c < best_c:
+            best_g, best_c = g, c
+    return best_g
+
+
+def _regroup_slices(tinfo, ginfo, meta_flat, slot_flat, nslices,
+                    tile_ns, windowed):
+    """Re-pad a g=1 (ungrouped) native pack to the cost-optimal g.
+
+    The native packer's tile layout is g-independent (g only inserts
+    per-slice zero pad tiles and groups steps), so ``g="auto"`` packs at
+    g=1 — ginfo is then one entry per tile, ``slice << 1 | first`` —
+    and this pass chooses g from the real per-slice tile counts and
+    rebuilds tinfo/ginfo/meta/slot positions at the padded layout."""
+    nt = len(tinfo)
+    slice_of_tile = (ginfo >> 1).astype(np.int64)
+    counts = np.bincount(slice_of_tile, minlength=nslices)
+    g = _choose_g(counts, tile_ns, windowed)
+    padded = np.maximum(-(-counts // g) * g, g)
+    base = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    newt = (base[slice_of_tile]
+            + np.arange(nt, dtype=np.int64) - starts[slice_of_tile])
+    nt2 = int(padded.sum())
+    tinfo2 = np.zeros(nt2, dtype=np.int32)
+    tinfo2[newt] = tinfo
+    mf = meta_flat.reshape(nt, SUB * LANES)
+    meta2 = np.zeros((nt2, SUB * LANES), dtype=meta_flat.dtype)
+    meta2[newt] = mf
+    cell = SUB * LANES
+    old_t = slot_flat // cell
+    slot2 = slot_flat + (newt[old_t] - old_t) * cell
+    nsteps = nt2 // g
+    sg = np.repeat(np.arange(nslices, dtype=np.int64), padded // g)
+    first = np.ones(nsteps, dtype=np.int64)
+    first[1:] = (sg[1:] != sg[:-1]).astype(np.int64)
+    ginfo2 = (sg << 1 | first).astype(np.int32)
+    return tinfo2, ginfo2, meta2.reshape(-1), slot2, g
+
+
+def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
+                max_pad_ratio: float = 10.0,
                 depth_cap: Union[int, str, None] = "auto",
                 max_repair: int = 8, max_spill: float = 0.02,
                 nw: int = 1, force_value_mode: Optional[str] = None,
@@ -332,9 +388,14 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     ``max_spill`` gates the realized total spill fraction.
 
     ``nw``: windows per bundle tile (1, 2, 4 or 8 — see module docstring).
+    ``g="auto"`` picks the tiles-per-step grouping from the calibrated
+    step/tile cost model (:func:`_choose_g`) after the layout is known.
     """
     if a.nnz == 0:
         raise ValueError("empty matrix has no SELL-8D packing")
+    g_auto = g == "auto"
+    if not g_auto:
+        g = int(g)
     nw = int(nw)                 # numpy ints lack .bit_length()
     if nw not in (1, 2, 4, 8):
         raise ValueError(f"nw must be 1, 2, 4 or 8, got {nw}")
@@ -361,7 +422,7 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
                  or (isinstance(depth_cap, int) and depth_cap > 0)):
         from ..native import pack_sell8d_native
         nat = pack_sell8d_native(
-            m, n, a.rowptr, a.colidx, nw=nw, g=g,
+            m, n, a.rowptr, a.colidx, nw=nw, g=1 if g_auto else g,
             depth_cap=-1 if depth_cap == "auto" else int(depth_cap),
             tile_ns=tns_tab[nw], spill_ns=spill_ns,
             pair_spill_ns=(_PAIR_SPILL_NS_DF if df_in
@@ -370,6 +431,10 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
         if nat is not None:
             (tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx,
              _cap) = nat
+            if g_auto:
+                tinfo, ginfo, meta_flat, slot_flat, g = _regroup_slices(
+                    tinfo, ginfo, meta_flat, slot_flat, nslices,
+                    tns_tab[nw], n > _V2_MAX_N)
             ntiles = len(tinfo)
             nnz_kept = len(kept_idx)
             if nnz_kept == 0:
@@ -617,6 +682,8 @@ def pack_sell8d(a: CsrMatrix, g: int = 16, max_pad_ratio: float = 10.0,
     slice_of_pair = pairs_unique // nwin
     slice_tiles = np.zeros(nslices, dtype=np.int64)
     np.add.at(slice_tiles, slice_of_pair, tiles_per_pair)
+    if g_auto:
+        g = _choose_g(slice_tiles, tns_tab[nw], n > _V2_MAX_N)
     slice_padded = np.maximum(-(-slice_tiles // g) * g, g)
     ntiles = int(slice_padded.sum())
     pad_ratio = ntiles * WINDOW / nnz_kept
@@ -887,6 +954,14 @@ def estimate_sell8d_tiles(a: CsrMatrix, depth_cap: Optional[int] = None,
 #: measured 20.1 / 20.3 / 26.9 / 28.5 for nw = 1/2/4/8 — the extra
 #: in-tile gathers are nearly free until nw=4
 _TILE_NS = {1: 20.0, 2: 21.0, 4: 27.0, 8: 29.0}
+#: fixed per-grid-step cost of the slot kernel (scalar-prefetch decode +
+#: output block switch), CALIBRATED ON-CHIP (baselines/probe_webbase_r4e
+#: .out: the same light matrix packed at g=8 (3932 steps / 31456 tiles)
+#: vs g=16 (2061 / 32976) ran 0.748 vs 0.615 ms — solving the two-point
+#: system gives ~75 ns/step + ~14 ns/tile).  This is why ``g="auto"``
+#: exists: per-slice padding costs ~g/2 tiles per touched slice, the
+#: step cost ~_STEP_NS/g per tile — the optimum depends on tiles/slice.
+_STEP_NS = 75.0
 #: windowed-DMA regime (n > V2_MAX_N, x not VMEM-resident): each tile adds
 #: an nw·4 KB x-window DMA (~27 ns/window at ~150 GB/s stream rate) on top
 #: of the resident-mode cost — wider bundles get expensive fast here

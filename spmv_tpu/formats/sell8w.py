@@ -398,6 +398,50 @@ def split_stragglers(a: CsrMatrix, min_pair: int = 12):
     return a_main, rest, frac
 
 
+def split_offpalette(a: CsrMatrix, max_entries: int = 64,
+                     max_frac: float = 0.01):
+    """Palette-with-exceptions split: (a_main, (rows, cols, vals) or None).
+
+    Exact-valued matrices (the reference's k/8 fixture, test_spmv.c:200)
+    grow a long tail of distinct values where duplicate (row, col) entries
+    are summed at load (webbase: 8 base values, 429 distinct after
+    summing) — value_palette then rejects the WHOLE stream and the plan
+    ships a full f32 value plane (4 KB/tile, measured 21 vs ~10 ns/tile
+    on the webbase heavy part, probe_webbase_r4e).  Keeping the
+    ``max_entries - 1`` most frequent values in-palette and moving the
+    exceptions (webbase: 1,433 of 1.32M nnz) to the XLA rest stream
+    restores palette mode for the 99.9%.
+
+    Returns ``(a, None)`` when the palette already fits (≤ ``max_entries``
+    distinct) or when exceptions exceed ``max_frac`` — then the split
+    would cost more on the rest stream than the value plane it saves.
+    """
+    v = np.ascontiguousarray(a.vals, dtype=np.float32)
+    nz = v[v != 0.0]
+    if not len(nz):
+        return a, None
+    uniq, counts = np.unique(nz, return_counts=True)
+    if len(uniq) + 1 <= max_entries:
+        return a, None
+    order = np.argsort(counts)[::-1]
+    keep_vals = np.sort(uniq[order[: max_entries - 1]])
+    pos = np.searchsorted(keep_vals, v)
+    pos = np.minimum(pos, len(keep_vals) - 1)
+    off = (keep_vals[pos] != v) & (v != 0.0)
+    n_off = int(off.sum())
+    if n_off == 0 or n_off > max_frac * a.nnz:
+        return a, None
+    rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
+    keep = ~off
+    lengths = np.bincount(rows[keep], minlength=a.m)
+    rowptr = np.zeros(a.m + 1, dtype=np.int64)
+    np.cumsum(lengths, out=rowptr[1:])
+    a_main = CsrMatrix(a.m, a.n, rowptr.astype(INT_DTYPE),
+                       a.colidx[keep], a.vals[keep])
+    rest = (rows[off].astype(INT_DTYPE), a.colidx[off], a.vals[off])
+    return a_main, rest
+
+
 def pairs_lower_bound(a: CsrMatrix) -> int:
     """Sortless lower bound on tile count: distinct (slice, window) pairs.
 

@@ -377,17 +377,25 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
     from .ops.pallas_sell import V2_MAX_N
     dev = _dev_put
     mem_cap = 6.7e8 / max(a.nnz, 1)
-    # per-slice G padding costs ~g/2 tiles per touched slice; web graphs
-    # have FEW real tiles per slice (webbase light: ~16/slice → g=16
-    # wasted 31% of the stream, measured 25.4k vs 20.5k tiles at g=8)
-    g = (8 if prep.t_light < 24 * max(prep.light.m // 1024, 1)
-         or prep.light.nnz < 500_000 else 16)
     rest_parts = []
     light_mat = prep.light
     heavy_plan = None
     fold_k = 0
     if prep.heavy is not None:
         hm = prep.heavy
+        # palette-with-exceptions: duplicate-summed exact values grow a
+        # distinct-value tail that forces a full f32 plane on the whole
+        # heavy stream (webbase: 429 distinct, 21 vs ~10 ns/tile measured
+        # — probe_webbase_r4e); moving the rare values to the rest stream
+        # restores palette mode
+        hm_p, hoff = sell8w_fmt.split_offpalette(hm)
+        if hoff is not None:
+            hr_rows = prep.fold_rows[np.asarray(hoff[0])]
+            rest_parts.append((hr_rows, hoff[1], hoff[2]))
+            hm = hm_p
+        palette_ok = sell8w_fmt.value_palette(
+            np.asarray(hm.vals)) is not None
+        tile_price = 10.0 if palette_ok else 20.0
         hm2, hrest, hfrac = sell8w_fmt.split_stragglers(hm)
         if hrest is not None and hfrac <= 0.05:
             # only split when the tiles it saves beat the rest stream's
@@ -396,7 +404,7 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
             # saving fewer tiles than that)
             saved = (sell8w_fmt.estimate_sell8w_tiles(hm)
                      - sell8w_fmt.estimate_sell8w_tiles(hm2))
-            if saved * 20.0 > len(hrest[0]) * 28.0:
+            if saved * tile_price > len(hrest[0]) * 28.0:
                 # heavy straggler rows live in the compact+sub space —
                 # map to original row ids so the serial stream adds into
                 # y directly
@@ -420,7 +428,7 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
         fold_k = hm.m
     packed, rest8d = sell8d_fmt.pack_sell8d(
         light_mat, max_pad_ratio=_pad_allow(48.0, mem_cap),
-        nw=prep.nw, g=g)
+        nw=prep.nw, g="auto")
     rest_parts.insert(0, rest8d)
     light_plan: Dict[str, Any] = {
         "sell8d": packed, "pad_ratio": packed.pad_ratio,
@@ -498,11 +506,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             mem_cap = 6.7e8 / max(mat.nnz, 1)
             allow = extra.get("sell8d_allow", _pad_allow(32.0, mem_cap))
             nw = extra.get("sell8d_nw", 1)
-            # small streams: halve the per-slice G-padding floor (G·nslices
-            # minimum tiles — 1.6k of 4.7k tiles on powerlaw's light part)
-            g = 8 if mat.nnz < 500_000 else 16
             packed, rest8d = sell8d_fmt.pack_sell8d(
-                mat, max_pad_ratio=allow, nw=nw, g=g)
+                mat, max_pad_ratio=allow, nw=nw, g="auto")
             plan = {"sell8d": packed, "pad_ratio": packed.pad_ratio,
                     "value_mode": packed.value_mode, "nw": packed.nw}
             return _finish_rest(plan, [rest8d, extra.get("rest_host")])

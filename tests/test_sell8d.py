@@ -360,3 +360,67 @@ def test_pair_spill_set_unit():
     # only admits the best-win prefix (pair 5: win 25 vs pair 17: 10)
     out = _pair_spill_set(pairs, dcap, kept, 40.0, 15.0, budget=1)
     assert out is not None and set(out) == {5}
+
+
+def test_auto_g_cost_model():
+    """g="auto" picks the step/tile-cost-optimal grouping and stays
+    reconstruction-exact (probe_webbase_r4e: the fixed-g heuristic cost
+    webbase 0.13 ms/exec — ~75 ns/step vs ~g/2 pad tiles per slice)."""
+    from spmv_tpu.formats.sell8d import _choose_g, _STEP_NS, _TILE_NS
+
+    # many tiles per slice → step cost dominates → large g
+    assert _choose_g(np.full(10, 300, np.int64), _TILE_NS[2], False) == 32
+    # windowed kernels cap at 16
+    assert _choose_g(np.full(10, 300, np.int64), _TILE_NS[2], True) == 16
+    # few tiles per slice → padding dominates → small g
+    assert _choose_g(np.full(4000, 3, np.int64), _TILE_NS[2], False) == 8
+
+    rng = np.random.default_rng(5)
+    a = generate.webbase_like(60_000, 60_000, 200_000, dtype=np.float32,
+                              seed=3, spread=256)
+    pa, ra = pack_sell8d(a, max_pad_ratio=1e9, nw=2, g="auto",
+                         max_spill=0.3)
+    pn, rn = pack_sell8d(a, max_pad_ratio=1e9, nw=2, g="auto",
+                         max_spill=0.3, use_native=False)
+    assert pa.g == pn.g and pa.g in (8, 16, 32)
+    assert pa.nsteps == pa.ntiles // pa.g
+    # grid invariant: each step's tiles stay within one output slice
+    sg = pa.ginfo >> 1
+    assert len(sg) == pa.nsteps
+    fn = build_sell8d_fn(pa, interpret=True)
+    x = rng.standard_normal(a.n).astype(np.float32)
+    y = np.asarray(fn(x)).astype(np.float64)
+    if ra is not None:
+        np.add.at(y, np.asarray(ra[0]),
+                  (np.asarray(ra[2]) * x[np.asarray(ra[1])])
+                  .astype(np.float64))
+    g = spmv_golden(a, x)
+    assert np.abs(y - g).max() / max(np.abs(g).max(), 1e-30) < 2e-5
+
+
+def test_split_offpalette():
+    """Palette-with-exceptions: duplicate-summed exact values regain
+    palette mode by moving the rare distinct values to the rest stream
+    (webbase heavy part: 429 distinct values, 1,433 exception nnz)."""
+    from spmv_tpu.formats.sell8w import split_offpalette, value_palette
+
+    a = generate.webbase_like(60_000, 60_000, 200_000, dtype=np.float32,
+                              seed=3, spread=256)
+    assert value_palette(np.asarray(a.vals)) is None  # the summed tail
+    am, off = split_offpalette(a)
+    assert off is not None and 0 < len(off[0]) <= 0.01 * a.nnz
+    assert value_palette(np.asarray(am.vals)) is not None
+    x = np.random.default_rng(0).standard_normal(a.n)
+    y = spmv_golden(am, x.astype(np.float32)).astype(np.float64)
+    np.add.at(y, np.asarray(off[0], np.int64),
+              np.asarray(off[2], np.float64) * x[np.asarray(off[1])])
+    g = spmv_golden(a, x.astype(np.float32))
+    assert np.abs(y - g).max() / np.abs(g).max() < 1e-6
+
+    # already-palettable values: no split
+    small = CsrMatrix.from_coo(
+        100, 100, np.arange(100, dtype=np.int64),
+        np.arange(100, dtype=np.int64),
+        np.full(100, 0.5, dtype=np.float32))
+    am2, off2 = split_offpalette(small)
+    assert off2 is None and am2 is small
