@@ -1,19 +1,22 @@
-"""On-chip proof for the n > V2_MAX_N scattered slot tier (v2w slot).
+"""On-chip proof for the n > V2_MAX_N scattered slot tier (round 4).
 
-VERDICT round-3 missing #2: the windowed-DMA slot kernels
-(_run_v2w_slot / _run_v2w_df) are interpret-tested but had no on-chip
-perf record at n past VMEM residency.  Two configs with n = 4M columns
-(x ≈ 16 MB — cannot be VMEM-resident), scattered columns, enough nnz
-per (slice, bundle) pair to pass the pairs pre-gate:
+VERDICT round-3 missing #2: the slot kernels past VMEM-x residency
+(windowed v2w and the round-4 column-striped resident mode) had no
+on-chip perf record.  Two configs with n = 4M columns (x = 16 MB,
+cannot be VMEM-resident), scattered columns, dense enough bundles that
+the slot tier clears its pad gates (d=32 floors at pad ~30 where the
+format and the scan converge — probe_striped_onchip_d32.out):
 
-* uniform 1M×4M, d=32 (32M nnz)
-* powerlaw 1M×4M, 32M nnz (heavy-tailed rows)
+* uniform 250k x 4M, d=64 (16M nnz)       — pad ~10 slot territory
+* powerlaw 500k x 4M, 16M nnz (heavy-tailed rows)
 
-Each runs AUTO (expected: slot-mode windowed 8D or the hybrid) vs the
-XLA Balanced scan, co-timed; target: Pallas ≥ 3× the scan (the
-reference's SELL fast path has no n limit — sell_C_Sigma_spmv.c:249-352).
+Each runs AUTO (expected: sell8d stripes or the hybrid) vs the XLA
+Balanced scan, co-timed; target: Pallas >= 3x the scan (the reference's
+SELL fast path has no n limit — sell_C_Sigma_spmv.c:249-352).
 
-Run on the TPU:  python baselines/validate_slot_v2w_onchip.py
+Run on the TPU, ALONE:  python baselines/validate_slot_v2w_onchip.py
+(k is kept small: each chained-k program unrolls k Mosaic lowerings per
+stripe — see probe_striped_onchip.py.)
 """
 
 import os
@@ -56,12 +59,17 @@ def run_config(name, a):
         assert rel < 2e-4, rel
         handles[label] = h
     assert any(k in handles["auto"].plan
-               for k in ("sell8d", "hybrid", "sell8w_v2w", "graph")), \
+               for k in ("sell8d", "sell8d_stripes", "hybrid",
+                         "sell8w_v2w", "graph")), \
         list(handles["auto"].plan)
     res = {}
     for w in range(2):
         for label, h in handles.items():
-            r = time_spmv_chain(h._bound, xj, iters=8, k=32, repeats=2)
+            # k=4: each chained-k program unrolls k Mosaic lowerings PER
+            # STRIPE (g=32, nw=8 bodies are ~256 unrolled gather chains;
+            # k=8 x 3 stripes burned >35 min of lowering in the probe).
+            # Per-SpMV times here are >=3 ms >> bubble/4.
+            r = time_spmv_chain(h._bound, xj, iters=6, k=4, repeats=2)
             gf = 2 * a.nnz / r["inclusive"] / 1e9
             print(f"  w{w} {label}: incl {r['inclusive']*1e3:.3f} ms "
                   f"({gf:.2f} GF/s) marg {r['marginal']*1e3:.3f} ms",
@@ -78,14 +86,14 @@ def run_config(name, a):
 def main():
     print("backend:", jax.default_backend(), flush=True)
     s1 = run_config(
-        "uniform1m_4m",
-        generate.random_uniform(1_000_000, 4_000_000, 32,
+        "uniform250k_4m_d64",
+        generate.random_uniform(250_000, 4_000_000, 64,
                                 dtype=np.float32, seed=31))
     s2 = run_config(
-        "powerlaw1m_4m",
-        generate.power_law(1_000_000, 4_000_000, 32_000_000,
+        "powerlaw500k_4m",
+        generate.power_law(500_000, 4_000_000, 16_000_000,
                            dtype=np.float32, seed=32))
-    print(f"SLOT V2W ONCHIP OK: uniform {s1:.1f}x, powerlaw {s2:.1f}x")
+    print(f"SLOT ONCHIP: uniform {s1:.1f}x, powerlaw {s2:.1f}x vs scan")
 
 
 if __name__ == "__main__":

@@ -753,6 +753,144 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     return packed, rest
 
 
+#: column-striped resident mode (round 4).  Past the VMEM-x envelope the
+#: windowed kernels pay an nw·4 KB x-window DMA PER TILE (_TILE_NS_W:
+#: 236 ns/tile at nw=8 vs 29 resident — 8x) while a column stripe of
+#: ≤ _V2_MAX_N keeps its x slice VMEM-resident and pays the slice load
+#: ONCE per pallas_call.  Stripe widths are multiples of WINDOW·8 = 8192
+#: so stripe-local bundle grids align with the global grid for every
+#: nw ∈ {1,2,4,8} — per-stripe tile counts sum to the whole-matrix
+#: estimate (no bundle straddles a boundary).
+STRIPE_ALIGN = WINDOW * 8
+#: per-exec stripe budget: past this the per-call overhead dominates and
+#: the windowed kernels take back over (n > ~128M)
+MAX_STRIPES = 64
+#: spill allowance for the striped/windowed scattered regime: wide (nw=8)
+#: bundles at uniform scatter spill same-row-same-bundle collisions
+#: (measured 3.2% on uniform d=32 over n=4M — each row expects ~1 repeat
+#: among 489 bundles); housing them as depth-2 tiles DOUBLES the stream
+#: (48k → 98k tiles measured) while the compact rest path costs
+#: ~2-28 ns/nnz.  The cost model prices both — this gate only guards
+#: against rest-stream blowups, so it sits above the collision regime.
+MAX_SPILL_STRIPED = 0.05
+
+
+def column_stripe_bounds(n: int):
+    """Bundle-aligned column stripe bounds covering [0, n) with every
+    stripe width ≤ _V2_MAX_N (x slice VMEM-resident)."""
+    if n <= _V2_MAX_N:
+        return [(0, n)]
+    max_w = (_V2_MAX_N // STRIPE_ALIGN) * STRIPE_ALIGN
+    nstripes = -(-n // max_w)
+    per = -(-n // nstripes)
+    width = -(-per // STRIPE_ALIGN) * STRIPE_ALIGN
+    return [(lo, min(lo + width, n)) for lo in range(0, n, width)]
+
+
+def stripe_overhead_ns(n: int) -> float:
+    """Per-exec overhead of the striped plan: one pallas_call plus one
+    x-slice VMEM load per stripe (~0.027 ns/B at the ~150 GB/s stream
+    rate the tile tables are calibrated against)."""
+    nstripes = len(column_stripe_bounds(n))
+    return nstripes * _STRIPE_CALL_NS + n * 4 * 0.027
+
+
+def pack_sell8d_striped(a: CsrMatrix, max_pad_ratio: float = 10.0,
+                        nw: int = 1,
+                        max_spill: float = MAX_SPILL_STRIPED,
+                        force_value_mode: Optional[str] = None,
+                        use_native: bool = True):
+    """Column-striped resident slot-mode pack for n > _V2_MAX_N.
+
+    Slices the matrix into bundle-aligned column stripes, packs each as
+    an independent :class:`Sell8D` (columns rebased to the stripe), and
+    compacts every stripe's output-block space to its TOUCHED slices —
+    the v2 kernels zero an output block only on first visit, so a
+    stripe-empty slice must not appear in the grid at all.  The executor
+    runs the resident slot kernel per stripe on ``x[lo:hi]`` and
+    scatter-adds the compact blocks (handle._make_bound).
+
+    Returns ``(stripes, rest, pad_ratio)`` where ``stripes`` is a list of
+    ``(lo, hi, vis_slices, packed)`` and ``rest`` is the merged COO
+    remainder with GLOBAL column ids.  Pad/spill gates apply to the
+    whole-matrix totals — a skewed stripe must not kill a globally fine
+    plan — so the per-stripe packs run ungated.
+    """
+    bounds = column_stripe_bounds(a.n)
+    if len(bounds) == 1:
+        raise ValueError("striping needs n past the VMEM-x envelope")
+    if len(bounds) > MAX_STRIPES:
+        raise ValueError(f"{len(bounds)} stripes exceed MAX_STRIPES")
+    lens = a.row_lengths.astype(np.int64)
+    rows_all = np.repeat(np.arange(a.m, dtype=np.int64), lens)
+    colidx = np.asarray(a.colidx)
+    vals = np.asarray(a.vals)
+    subs = []
+    for lo, hi in bounds:
+        keep = (colidx >= lo) & (colidx < hi)
+        if not keep.any():
+            continue
+        rows_s = rows_all[keep]
+        rp = np.zeros(a.m + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows_s, minlength=a.m), out=rp[1:])
+        subs.append((lo, hi, CsrMatrix(
+            a.m, hi - lo, rp, (colidx[keep] - lo).astype(colidx.dtype),
+            vals[keep])))
+
+    def _pack_all(depth_cap):
+        stripes, rest_parts = [], []
+        tot_tiles = tot_kept = tot_spill = 0
+        for lo, hi, sub in subs:
+            packed, rest = pack_sell8d(
+                sub, g="auto", max_pad_ratio=float("inf"), max_spill=1.0,
+                depth_cap=depth_cap, nw=nw,
+                force_value_mode=force_value_mode, use_native=use_native)
+            gi = np.asarray(packed.ginfo)
+            sl = gi >> 1
+            vis = np.unique(sl)      # ginfo is output-block monotone
+            gi2 = ((np.searchsorted(vis, sl) << 1)
+                   | (gi & 1)).astype(np.int32)
+            packed = dataclasses.replace(
+                packed, m=len(vis) * SLICE_ROWS, nslices=len(vis),
+                ginfo=gi2)
+            stripes.append((lo, hi, vis.astype(np.int64), packed))
+            tot_tiles += packed.ntiles
+            tot_kept += packed.nnz_stored
+            if rest is not None:
+                rest_parts.append((rest[0],
+                                   rest[1].astype(np.int64) + lo,
+                                   rest[2]))
+                tot_spill += len(rest[0])
+        return stripes, rest_parts, tot_tiles, tot_kept, tot_spill
+
+    stripes, rest_parts, tot_tiles, tot_kept, tot_spill = \
+        _pack_all("auto")
+    if (tot_kept and tot_tiles * WINDOW / tot_kept > max_pad_ratio
+            and any(s[3].ntiles for s in stripes)):
+        # the auto cap chooser decides on tile-vs-spill ECONOMICS alone
+        # (a near-tie at 28-vs-29 ns goes deep, measured cap=2 pad 33 vs
+        # cap=1 pad 15.5 on uniform d=32 n=4M) — the pad/HBM budget is
+        # enforced here, so retry shallow before giving up
+        s1 = _pack_all(1)
+        if s1[3] and s1[2] * WINDOW / s1[3] < tot_tiles * WINDOW \
+                / tot_kept and s1[4] <= max_spill * a.nnz:
+            stripes, rest_parts, tot_tiles, tot_kept, tot_spill = s1
+    if not tot_kept:
+        raise ValueError("striped sell8d pack kept no nonzeros")
+    if tot_spill > max_spill * a.nnz:
+        raise ValueError(f"striped spill fraction {tot_spill/a.nnz:.3f} "
+                         f"exceeds {max_spill}")
+    pad = tot_tiles * WINDOW / tot_kept
+    if pad > max_pad_ratio:
+        raise ValueError(f"striped pad ratio {pad:.1f} exceeds "
+                         f"{max_pad_ratio}")
+    rest = None
+    if rest_parts:
+        rest = tuple(np.concatenate([p[i] for p in rest_parts])
+                     for i in range(3))
+    return stripes, rest, pad
+
+
 @dataclasses.dataclass(frozen=True)
 class Sell8D:
     """Grouped slot-mode tile stream for the v2 kernel's slot_mode path."""
@@ -969,6 +1107,10 @@ _TILE_NS_W = {1: 47.0, 2: 74.0, 4: 128.0, 8: 236.0}
 #: mirror of ops/pallas_sell.V2_MAX_N (kept host-side: formats must not
 #: import the kernel module; equality pinned by tests/test_sell8d.py)
 _V2_MAX_N = 2_000_000
+#: fixed cost of one extra pallas_call in the striped plan (dispatch +
+#: grid warm-up) — conservative placeholder pending on-chip calibration
+#: (baselines/validate_slot_v2w_onchip.py re-run measures the real value)
+_STRIPE_CALL_NS = 30_000.0
 #: XLA straggler cost per spilled nnz — measured through the handle:
 #: 51k spilled cost 0.79 ms (gather + segment-sum floor)
 _SPILL_NS = 15.0
@@ -1037,6 +1179,34 @@ def cost_tables(windowed: bool, df):
         return ({w: _TILE_NS_W[w] + (_TILE_NS_DF16[w] - _TILE_NS[w])
                  + 27.0 * w for w in base}, _SPILL_NS_DF)
     return dict(_TILE_NS_DF16), _SPILL_NS_DF
+
+
+def slot_stream_budget(vals: np.ndarray, nw: int, df: bool) -> float:
+    """Max packed slots under the ~4 GB HBM stream budget, value-mode
+    aware.  The legacy constant 6.7e8 assumed 6 B/slot (int16 meta +
+    f32 value plane); palette mode stores codes INSIDE the meta
+    (2 B/slot), bf16 adds a 2 B plane (4), df16 a f32-hi + int16-lo
+    pair (8) — a flat slot cap blocks palette-valued packs at 3x the
+    pad they actually afford (the 32M-nnz striped regime, round 4)."""
+    if df:
+        bytes_per = 8.0
+    else:
+        lb = int(nw).bit_length() - 1
+        if palette_entry_count(vals) <= (64 >> lb):
+            bytes_per = 2.0
+        else:
+            import ml_dtypes
+            v32 = np.asarray(vals, dtype=np.float32)
+            probe = v32[:1 << 20]
+            lossless = bool(np.array_equal(
+                probe.astype(ml_dtypes.bfloat16).astype(np.float32),
+                probe))
+            if lossless and len(v32) > (1 << 20):
+                lossless = bool(np.array_equal(
+                    v32.astype(ml_dtypes.bfloat16).astype(np.float32),
+                    v32))
+            bytes_per = 4.0 if lossless else 6.0
+    return 4e9 / bytes_per
 
 
 def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:

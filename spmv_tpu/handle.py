@@ -191,6 +191,10 @@ class SpmvHandle:
             extra = (f", pallas=hybrid(8w+8d) "
                      f"pad={self.plan['pad_ratio']:.2f} "
                      f"dense={self.plan['dense_frac']:.2f}")
+        elif "sell8d_stripes" in self.plan:
+            extra = (f", pallas=sell8d-striped"
+                     f"[{len(self.plan['sell8d_stripes'])}] "
+                     f"pad={self.plan['pad_ratio']:.2f}")
         elif "sell8d" in self.plan:
             extra = f", pallas=sell8d pad={self.plan['pad_ratio']:.2f}"
         elif "sell8w" in self.plan:
@@ -503,9 +507,27 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             # sits at its (slice, window)-pairs pad floor.  The depth-cap
             # tail + s-table leftovers ride the straggler stream.
             from .formats import sell8d as sell8d_fmt
-            mem_cap = 6.7e8 / max(mat.nnz, 1)
-            allow = extra.get("sell8d_allow", _pad_allow(32.0, mem_cap))
             nw = extra.get("sell8d_nw", 1)
+            mem_cap = sell8d_fmt.slot_stream_budget(
+                mat.vals, nw,
+                np.dtype(mat.dtype) == np.dtype(np.float64)) \
+                / max(mat.nnz, 1)
+            allow = extra.get("sell8d_allow", _pad_allow(32.0, mem_cap))
+            if (mat.n > V2_MAX_N
+                    and len(sell8d_fmt.column_stripe_bounds(mat.n))
+                    <= sell8d_fmt.MAX_STRIPES):
+                # column-striped RESIDENT mode (round 4): stripes of
+                # ≤ V2_MAX_N columns keep their x slice in VMEM, so each
+                # tile costs ~29 ns instead of the windowed kernels'
+                # nw·4 KB-DMA 236 ns (8x, _TILE_NS_W) — the windowed
+                # route stays only as the >MAX_STRIPES fallback
+                stripes, rest8d, pad = sell8d_fmt.pack_sell8d_striped(
+                    mat, max_pad_ratio=allow, nw=nw)
+                vm = max(stripes, key=lambda s: s[3].ntiles)[3].value_mode
+                plan = {"sell8d_stripes": stripes, "pad_ratio": pad,
+                        "value_mode": vm, "nw": nw}
+                return _finish_rest(plan,
+                                    [rest8d, extra.get("rest_host")])
             packed, rest8d = sell8d_fmt.pack_sell8d(
                 mat, max_pad_ratio=allow, nw=nw, g="auto")
             plan = {"sell8d": packed, "pad_ratio": packed.pad_ratio,
@@ -565,8 +587,22 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                         if (pairs_lb * sell8w_fmt.WINDOW / mat.nnz > 96
                                 and heavy_frac < 0.05):
                             return _sell8w_plan(mat, extra)
-                t8d, _cap, spilled, nw = estimate_sell8d_auto(mat, nw=None)
-                if spilled > 0.02 * mat.nnz:
+                from .formats.sell8d import (MAX_SPILL_STRIPED,
+                                             MAX_STRIPES,
+                                             column_stripe_bounds)
+                # striping keeps x VMEM-resident per column stripe, so
+                # the nw chooser must price with the RESIDENT table
+                # (windowed pricing leans narrow and rejects the wide
+                # bundles that sit on the pairs floor — measured nw=4
+                # pad 42.8 vs nw=8 pad 15.3 on uniform d=32 n=4M)
+                striped = (mat.n > V2_MAX_N
+                           and len(column_stripe_bounds(mat.n))
+                           <= MAX_STRIPES)
+                max_sp = MAX_SPILL_STRIPED if striped else 0.02
+                t8d, _cap, spilled, nw = estimate_sell8d_auto(
+                    mat, nw=None, windowed=False if striped else None,
+                    max_spill=max_sp)
+                if spilled > max_sp * mat.nnz:
                     t8d = 0                       # 8D alone not viable
                 tried_8d = False
                 if t8d and t8d * sell8w_fmt.WINDOW / mat.nnz <= 4.5:
@@ -597,7 +633,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                         # powerlaw100k_f64 at the f32 split: 3.98x
                         # slower than f32 vs the 1.67x kernel ratio)
                         ts_tab, spill_ns = cost_tables(
-                            mat.n > V2_MAX_N, True)
+                            mat.n > V2_MAX_N and not striped, True)
                         cost_8w = (t8w * dense_tile_ns(True)
                                    if t8w else float("inf"))
                         cost_8d = (t8d * ts_tab[nw] + spilled * spill_ns
@@ -803,9 +839,9 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 if ok:
                     alt = _build_plan(a, Method.SELL_C_SIGMA, nthreads,
                                       vectorized, hints=sub_hints)
-                    if any(k in alt for k in ("sell8d", "sell8w",
-                                              "sell8w_v2", "sell8w_v2w",
-                                              "hybrid")):
+                    if any(k in alt for k in ("sell8d", "sell8d_stripes",
+                                              "sell8w", "sell8w_v2",
+                                              "sell8w_v2w", "hybrid")):
                         return alt
             # fall through to the XLA plan
     if method == Method.SERIAL:
@@ -973,9 +1009,33 @@ def _make_bound(method: Method, plan: Dict[str, Any], m_rows: int):
                 [x_ext, yh.astype(x_ext.dtype)]))
 
         return graph_fn
-    if "sell8d" in p or "sell8w_v2" in p or "sell8w_v2w" in p \
-            or "sell8w" in p:
-        if "sell8d" in p:
+    if "sell8d" in p or "sell8d_stripes" in p or "sell8w_v2" in p \
+            or "sell8w_v2w" in p or "sell8w" in p:
+        if "sell8d_stripes" in p:
+            # column-striped resident slot mode: one resident-kernel call
+            # per ≤V2_MAX_N-column stripe on x[lo:hi]; each stripe's
+            # output-block space was compacted to its touched slices at
+            # pack time (the kernels zero a block only on first visit),
+            # so the partials land with small block scatter-adds.
+            from .ops.pallas_sell import build_sell8d_fn
+            nsl_tot = max(-(-m_rows // 1024), 1)
+            parts = [(lo, hi,
+                      None if len(vis) == nsl_tot else jnp.asarray(vis),
+                      build_sell8d_fn(pk))
+                     for lo, hi, vis, pk in p["sell8d_stripes"]]
+            df_out = p.get("value_mode") in ("df", "df16", "palette_df")
+            out_dt = jnp.float64 if df_out else jnp.float32
+
+            def inner(x, _parts=parts, _nsl=nsl_tot, _dt=out_dt):
+                out = jnp.zeros((_nsl, 1024), _dt)
+                for lo, hi, vis, f in _parts:
+                    o = f(x[lo:hi]).reshape(-1, 1024)
+                    # vis None ⇔ the stripe touches every slice (dense
+                    # scatter degenerates to a plain add)
+                    out = (out + o if vis is None
+                           else out.at[vis].add(o))
+                return out.reshape(-1)[:m_rows]
+        elif "sell8d" in p:
             from .ops.pallas_sell import build_sell8d_fn
             inner = build_sell8d_fn(p["sell8d"])
         elif "sell8w_v2" in p:

@@ -101,7 +101,8 @@ def test_handle_routes_f64_large_n(monkeypatch):
     from spmv_tpu.handle import create_handle
     from spmv_tpu.types import Method
     h = create_handle(a, method=Method.SELL_C_SIGMA)
-    assert any(k in h.plan for k in ("sell8w_v2w", "sell8d", "hybrid")), \
+    assert any(k in h.plan for k in ("sell8w_v2w", "sell8d",
+                                     "sell8d_stripes", "hybrid")), \
         list(h.plan)
 
 
