@@ -101,10 +101,17 @@ def main() -> int:
     errors = {}
     for name in names:
         try:
+            # progress on stderr (stdout carries ONLY the JSON line):
+            # on a degraded tunnel the transfer-bound predeals can take
+            # minutes each — a silent 20-minute run is undiagnosable
+            print(f"# bench: building {name}", file=sys.stderr,
+                  flush=True)
             a = _gen_one(name)
             t0 = time.perf_counter()
             handles[name] = create_handle(a, method=Method.AUTO)
             predeal[name] = round((time.perf_counter() - t0) * 1e3, 1)
+            print(f"# bench: {name} predeal {predeal[name]:.0f} ms",
+                  file=sys.stderr, flush=True)
             xs[name] = jnp.asarray(np.random.default_rng(0)
                                    .standard_normal(a.n)
                                    .astype(np.asarray(a.vals).dtype))
@@ -121,6 +128,9 @@ def main() -> int:
             try:
                 r = time_spmv_chain(handles[name]._bound, xs[name],
                                     iters=10, k=32, repeats=2)
+                print(f"# bench: w{window} {name} "
+                      f"{r['inclusive']*1e3:.3f} ms", file=sys.stderr,
+                      flush=True)
             except Exception:  # noqa: BLE001
                 errors[name] = traceback.format_exc(limit=3)
                 continue
