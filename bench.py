@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""Headline benchmark: one JSON line for the driver, ALL config families.
+"""Headline benchmark: one COMPACT JSON line for the driver, ALL families.
 
 VERDICT round-1 demanded the non-banded configs be measured and published in
 the same JSON as the banded headline (no cherry-picking); round-2 demanded
 (a) same-dtype f64 rows so the reference is beaten at its own primary dtype
 (include/spmv.h:49), and (b) failure hardening: round 2's artifact died
-rc=1 on a transient TPU-tunnel flake.  This version retries first device
-contact (bounded), isolates every config in try/except, and ALWAYS prints
-the JSON line with whatever landed.
+rc=1 on a transient TPU-tunnel flake.  Round-4 VERDICT item 1: the driver
+records only the LAST 2000 chars of stdout, so rounds 2-4's single giant
+JSON line lost its front (parsed:null, first 3 of 9 families dropped).
+Fix, modeled on the reference's one-compact-row-per-result records
+(/root/reference/src/samples/test_spmv.c:146-149): the final stdout line
+is a compact (<1500 char) summary — per-family {g: gflops, vr: vs_ref,
+pk: pack_ms, tx: transfer_ms} — and the FULL record (methods, value
+modes, sync bubbles, timing-protocol prose, errors) goes to
+baselines/bench_latest.json on disk.  pack/transfer split per round-4
+VERDICT item 7 (reference predeal column: test_spmv.c:89-93).
 
 Configs follow BASELINE.md; each is timed with the honest fori-chained
 protocol (spmv_tpu/bench/timing.py — the runtime dedupes naive dispatch
@@ -21,6 +28,7 @@ baselines/reference_cpu*.csv.
 """
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -92,12 +100,14 @@ def main() -> int:
     from spmv_tpu import create_handle, Method
     from spmv_tpu.bench.timing import time_spmv_chain
 
+    from spmv_tpu.handle import predeal_profile
+
     # One matrix at a time: generate, build the handle (the measured
     # pre-deal), then drop the host CSR before the next — holding all
     # (~60M nnz of int64 temporaries) doubles the banded pack time from
     # host memory pressure alone.
     names = list(REFS)
-    handles, predeal, xs, dims = {}, {}, {}, {}
+    handles, predeal, transfer, xs, dims = {}, {}, {}, {}, {}
     errors = {}
     for name in names:
         try:
@@ -108,9 +118,12 @@ def main() -> int:
                   flush=True)
             a = _gen_one(name)
             t0 = time.perf_counter()
-            handles[name] = create_handle(a, method=Method.AUTO)
+            with predeal_profile() as laps:
+                handles[name] = create_handle(a, method=Method.AUTO)
             predeal[name] = round((time.perf_counter() - t0) * 1e3, 1)
-            print(f"# bench: {name} predeal {predeal[name]:.0f} ms",
+            transfer[name] = round(laps["transfer_s"] * 1e3, 1)
+            print(f"# bench: {name} predeal {predeal[name]:.0f} ms "
+                  f"(transfer {transfer[name]:.0f} ms)",
                   file=sys.stderr, flush=True)
             xs[name] = jnp.asarray(np.random.default_rng(0)
                                    .standard_normal(a.n)
@@ -151,6 +164,7 @@ def main() -> int:
         r = best[name]
         gflops = 2 * nnz / r["inclusive"] / 1e9
         h = handles[name]
+        tx = transfer.get(name, 0.0)
         configs[name] = {
             "gflops": round(gflops, 2),
             "gflops_marginal": round(2 * nnz / r["marginal"] / 1e9, 2),
@@ -160,6 +174,8 @@ def main() -> int:
             "method": h.method_name,
             "value_mode": h.plan.get("value_mode"),
             "predeal_ms": predeal[name],
+            "pack_ms": round(predeal[name] - tx, 1),
+            "transfer_ms": tx,
             "ref_gflops": ref,
             "ref": ref_label,
             "vs_ref": round(gflops / ref, 2),
@@ -173,13 +189,26 @@ def main() -> int:
             print(json.dumps({
                 "metric": "spmv_f32_gflops_banded4m", "value": 0,
                 "unit": "GFLOP/s", "vs_baseline": 0,
-                "backend": backend, "configs": configs,
-                "error": "no config survived",
+                "backend": backend, "error": "no config survived",
             }))
             return 1
         head_name = max(landed, key=lambda n: configs[n]["vs_ref"])
     head = configs[head_name]
-    print(json.dumps({
+
+    emit_records(head_name, head, backend, names, configs)
+    return 0
+
+
+def emit_records(head_name, head, backend, names, configs,
+                 out_dir=None) -> str:
+    """Write the full record to baselines/bench_latest.json and print the
+    compact driver line (returned for tests).
+
+    Compact per-family summary: g=gflops, vr=vs_ref, pk=pack_ms,
+    tx=transfer_ms (e=1 marks a failed family).  9 families ≈ 600 chars;
+    the whole line stays well under the driver's 2000-char stdout tail so
+    the authoritative record parses whole (round-4 VERDICT item 1)."""
+    full = {
         "metric": f"spmv_gflops_{head_name}",
         "value": head["gflops"],
         "unit": "GFLOP/s",
@@ -197,8 +226,42 @@ def main() -> int:
                            "conservative); gflops = inclusive T(k)/k, "
                            "gflops_marginal = (T(k)-T(1))/(k-1); best of "
                            "2 windows",
-    }))
-    return 0
+    }
+    if out_dir is None:
+        out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "baselines")
+    try:
+        with open(os.path.join(out_dir, "bench_latest.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+
+    fam = {}
+    for name in names:
+        c = configs.get(name, {})
+        if "gflops" in c:
+            fam[name] = {"g": c["gflops"], "vr": c["vs_ref"],
+                         "pk": round(c["pack_ms"]),
+                         "tx": round(c["transfer_ms"])}
+        else:
+            fam[name] = {"e": 1}
+    line = json.dumps({
+        "metric": f"spmv_gflops_{head_name}",
+        "value": head["gflops"],
+        "unit": "GFLOP/s",
+        "vs_baseline": head["vs_ref"],
+        "backend": backend,
+        "families": fam,
+        "full": "baselines/bench_latest.json",
+    }, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail window
+        line = json.dumps({
+            "metric": f"spmv_gflops_{head_name}", "value": head["gflops"],
+            "unit": "GFLOP/s", "vs_baseline": head["vs_ref"],
+            "backend": backend, "full": "baselines/bench_latest.json",
+        }, separators=(",", ":"))
+    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -311,7 +311,7 @@ def _apply_values(meta, slot_flat, vals_k, lb, ntiles,
 
 
 def _choose_g(slice_tiles: np.ndarray, tile_ns: float,
-              windowed: bool) -> int:
+              windowed: bool, keep_empty: bool = True) -> int:
     """Cost-optimal tiles-per-step under the calibrated step/tile model.
 
     cost(g) = padded_tiles(g)·tile_ns + steps(g)·_STEP_NS, where padding
@@ -323,7 +323,10 @@ def _choose_g(slice_tiles: np.ndarray, tile_ns: float,
     g separate x-window bundles through VMEM."""
     best_g, best_c = 8, None
     for g in (8, 16) if windowed else (8, 16, 32):
-        t = int(np.maximum(-(-slice_tiles // g) * g, g).sum())
+        pad = -(-slice_tiles // g) * g
+        if keep_empty:           # untouched slices still cost g zero tiles
+            pad = np.maximum(pad, g)
+        t = int(pad.sum())
         c = t * tile_ns + (t // g) * _STEP_NS
         if best_c is None or c < best_c:
             best_g, best_c = g, c
@@ -331,19 +334,46 @@ def _choose_g(slice_tiles: np.ndarray, tile_ns: float,
 
 
 def _regroup_slices(tinfo, ginfo, meta_flat, slot_flat, nslices,
-                    tile_ns, windowed):
+                    tile_ns, windowed, keep_empty=True):
     """Re-pad a g=1 (ungrouped) native pack to the cost-optimal g.
 
     The native packer's tile layout is g-independent (g only inserts
     per-slice zero pad tiles and groups steps), so ``g="auto"`` packs at
     g=1 — ginfo is then one entry per tile, ``slice << 1 | first`` —
     and this pass chooses g from the real per-slice tile counts and
-    rebuilds tinfo/ginfo/meta/slot positions at the padded layout."""
+    rebuilds tinfo/ginfo/meta/slot positions at the padded layout.
+
+    ``keep_empty=False`` gives untouched slices ZERO tiles instead of the
+    g-tile minimum — only valid when the consumer compacts the output to
+    visited slices (the striped executor's scatter-add; round-4 advisor:
+    with the minimum pad the striped "touched-slice compaction" was a
+    no-op and every stripe paid g zero tiles per untouched slice)."""
     nt = len(tinfo)
+    cell = SUB * LANES
     slice_of_tile = (ginfo >> 1).astype(np.int64)
+    if not keep_empty:
+        # the native g=1 pack gives every EMPTY slice one pure-pad tile
+        # (kernel zero-init rule); drop those tiles — a slice is occupied
+        # iff some kept entry's slot lands in it, and at g=1 occupied
+        # slices carry no pad tiles at all
+        occupied = np.zeros(nslices, dtype=bool)
+        occupied[slice_of_tile[np.unique(slot_flat // cell)]] = True
+        if not occupied.all():
+            tile_keep = occupied[slice_of_tile]
+            new_of_old = np.cumsum(tile_keep) - 1
+            old_t = slot_flat // cell
+            slot_flat = slot_flat + (new_of_old[old_t] - old_t) * cell
+            tinfo = tinfo[tile_keep]
+            meta_flat = (meta_flat.reshape(nt, cell)[tile_keep]
+                         .reshape(-1))
+            ginfo = ginfo[tile_keep]
+            slice_of_tile = slice_of_tile[tile_keep]
+            nt = len(tinfo)
     counts = np.bincount(slice_of_tile, minlength=nslices)
-    g = _choose_g(counts, tile_ns, windowed)
-    padded = np.maximum(-(-counts // g) * g, g)
+    g = _choose_g(counts, tile_ns, windowed, keep_empty)
+    padded = -(-counts // g) * g
+    if keep_empty:   # every output block visited once → zero-initialized
+        padded = np.maximum(padded, g)
     base = np.concatenate([[0], np.cumsum(padded)[:-1]])
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     newt = (base[slice_of_tile]
@@ -371,7 +401,8 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
                 max_repair: int = 8, max_spill: float = 0.02,
                 nw: int = 1, force_value_mode: Optional[str] = None,
                 palette_values: Optional[np.ndarray] = None,
-                use_native: bool = True
+                use_native: bool = True,
+                keep_empty_slices: bool = True
                 ) -> Tuple["Sell8D", Optional[tuple]]:
     """Pack into the slot-mode deep-slice stream.
 
@@ -390,6 +421,12 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     ``nw``: windows per bundle tile (1, 2, 4 or 8 — see module docstring).
     ``g="auto"`` picks the tiles-per-step grouping from the calibrated
     step/tile cost model (:func:`_choose_g`) after the layout is known.
+
+    ``keep_empty_slices=False`` drops untouched slices from the tile
+    stream entirely (zero tiles instead of the g minimum) — ONLY for
+    consumers that compact output blocks to visited slices, i.e. the
+    striped executor (the v2 kernels zero an output block on first visit;
+    a never-visited block holds garbage unless the consumer drops it).
     """
     if a.nnz == 0:
         raise ValueError("empty matrix has no SELL-8D packing")
@@ -418,6 +455,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     df_in = np.dtype(a.dtype) == np.dtype(np.float64)
     tns_tab, spill_ns = cost_tables(n > _V2_MAX_N, df_in)
     if use_native and nslices * nwin <= (1 << 28) \
+            and (keep_empty_slices or g_auto) \
             and (depth_cap == "auto"
                  or (isinstance(depth_cap, int) and depth_cap > 0)):
         from ..native import pack_sell8d_native
@@ -434,7 +472,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
             if g_auto:
                 tinfo, ginfo, meta_flat, slot_flat, g = _regroup_slices(
                     tinfo, ginfo, meta_flat, slot_flat, nslices,
-                    tns_tab[nw], n > _V2_MAX_N)
+                    tns_tab[nw], n > _V2_MAX_N, keep_empty_slices)
             ntiles = len(tinfo)
             nnz_kept = len(kept_idx)
             if nnz_kept == 0:
@@ -683,8 +721,11 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     slice_tiles = np.zeros(nslices, dtype=np.int64)
     np.add.at(slice_tiles, slice_of_pair, tiles_per_pair)
     if g_auto:
-        g = _choose_g(slice_tiles, tns_tab[nw], n > _V2_MAX_N)
-    slice_padded = np.maximum(-(-slice_tiles // g) * g, g)
+        g = _choose_g(slice_tiles, tns_tab[nw], n > _V2_MAX_N,
+                      keep_empty_slices)
+    slice_padded = -(-slice_tiles // g) * g
+    if keep_empty_slices:   # untouched output blocks must be visited once
+        slice_padded = np.maximum(slice_padded, g)
     ntiles = int(slice_padded.sum())
     pad_ratio = ntiles * WINDOW / nnz_kept
     if pad_ratio > max_pad_ratio:
@@ -844,7 +885,8 @@ def pack_sell8d_striped(a: CsrMatrix, max_pad_ratio: float = 10.0,
             packed, rest = pack_sell8d(
                 sub, g="auto", max_pad_ratio=float("inf"), max_spill=1.0,
                 depth_cap=depth_cap, nw=nw,
-                force_value_mode=force_value_mode, use_native=use_native)
+                force_value_mode=force_value_mode, use_native=use_native,
+                keep_empty_slices=False)
             gi = np.asarray(packed.ginfo)
             sl = gi >> 1
             vis = np.unique(sl)      # ginfo is output-block monotone
@@ -1187,9 +1229,21 @@ def slot_stream_budget(vals: np.ndarray, nw: int, df: bool) -> float:
     f32 value plane); palette mode stores codes INSIDE the meta
     (2 B/slot), bf16 adds a 2 B plane (4), df16 a f32-hi + int16-lo
     pair (8) — a flat slot cap blocks palette-valued packs at 3x the
-    pad they actually afford (the 32M-nnz striped regime, round 4)."""
+    pad they actually afford (the 32M-nnz striped regime, round 4).
+
+    f64 modes mirror _apply_values' ladder (round-4 advisor: a flat
+    8 B/slot under-budgeted plain df — int16 meta + two f32 planes =
+    10 B — and over-restricted palette_df by 4x, which stores only the
+    2 B meta): palette_df 2 B, df16 8 B (meta + f32 hi + int16 lo),
+    plain df 10 B."""
     if df:
-        bytes_per = 8.0
+        lb = int(nw).bit_length() - 1
+        if palette_entry_count(vals) <= (64 >> lb):
+            bytes_per = 2.0                        # palette_df
+        elif df16_safe(np.asarray(vals)):
+            bytes_per = 8.0                        # df16
+        else:
+            bytes_per = 10.0                       # plain df
     else:
         lb = int(nw).bit_length() - 1
         if palette_entry_count(vals) <= (64 >> lb):
@@ -1211,8 +1265,14 @@ def slot_stream_budget(vals: np.ndarray, nw: int, df: bool) -> float:
 
 def palette_entry_count(vals: np.ndarray, limit: int = 65) -> int:
     """Distinct-nonzero-value count + 1 (the reserved 0 code), clipped at
-    ``limit`` — the nw chooser's palette-feasibility probe."""
-    v = np.asarray(vals, dtype=np.float32).reshape(-1)
+    ``limit`` — the nw chooser's palette-feasibility probe.  f64 inputs
+    count distinctness at full precision (palette_df stores hi+lo planes
+    per entry; an f32 cast could merge distinct f64 values and declare a
+    palette feasible that _apply_values would then reject)."""
+    v = np.asarray(vals)
+    if v.dtype != np.float64:
+        v = v.astype(np.float32)
+    v = v.reshape(-1)
     nz = v[v != 0.0]
     if not len(nz):
         return 1

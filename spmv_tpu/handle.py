@@ -27,10 +27,8 @@ Method_Auto        inspector picks one of the above from matrix features
 
 from __future__ import annotations
 
-import contextlib
 import dataclasses
 import functools
-import time
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -291,41 +289,11 @@ def _graph_gate(a: CsrMatrix, prep) -> bool:
             and prep.spilled <= 0.02 * a.nnz)
 
 
-#: active predeal profile record (None = profiling off, zero overhead)
-_PREDEAL_LAPS: Optional[Dict[str, float]] = None
-
-
-@contextlib.contextmanager
-def predeal_profile():
-    """Record handle creation's host-pack vs device-transfer split.
-
-    Yields a dict updated in place: ``transfer_s`` (wall seconds spent in
-    blocked device_put) and ``bytes`` (plan bytes shipped).  Pack time is
-    the caller's total predeal minus ``transfer_s``.  Each transfer is
-    blocked on inside the context so the split is honest — this serializes
-    transfers against host pack work, so use it for measurement sweeps
-    (baselines/run_round3_sweep.py), not hot paths.  The reference's
-    predeal column has no such split (test_spmv.c:89-93) — round-2 VERDICT
-    asked for it to separate host contention from real pack cost.
-    """
-    global _PREDEAL_LAPS
-    prev = _PREDEAL_LAPS
-    _PREDEAL_LAPS = {"transfer_s": 0.0, "bytes": 0}
-    try:
-        yield _PREDEAL_LAPS
-    finally:
-        _PREDEAL_LAPS = prev
-
-
-def _dev_put(x):
-    """jax.device_put, instrumented when a predeal_profile is active."""
-    if _PREDEAL_LAPS is None:
-        return jax.device_put(x)
-    t0 = time.perf_counter()
-    r = jax.block_until_ready(jax.device_put(x))
-    _PREDEAL_LAPS["transfer_s"] += time.perf_counter() - t0
-    _PREDEAL_LAPS["bytes"] += getattr(r, "nbytes", 0)
-    return r
+# moved to utils/profiling.py (round 5) so the kernel builders'
+# tile-stream transfers are instrumented too; re-exported here for the
+# existing API surface (bench.py, bench/suite.py, sweeps)
+from .utils.profiling import predeal_profile  # noqa: F401  (re-export)
+from .utils.profiling import dev_put as _dev_put
 
 
 def _append_fold_entries(mat: CsrMatrix, fold_rows: np.ndarray,
@@ -515,12 +483,15 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
             allow = extra.get("sell8d_allow", _pad_allow(32.0, mem_cap))
             if (mat.n > V2_MAX_N
                     and len(sell8d_fmt.column_stripe_bounds(mat.n))
-                    <= sell8d_fmt.MAX_STRIPES):
+                    <= sell8d_fmt.MAX_STRIPES
+                    and extra.get("sell8d_striped", True)):
                 # column-striped RESIDENT mode (round 4): stripes of
                 # ≤ V2_MAX_N columns keep their x slice in VMEM, so each
                 # tile costs ~29 ns instead of the windowed kernels'
-                # nw·4 KB-DMA 236 ns (8x, _TILE_NS_W) — the windowed
-                # route stays only as the >MAX_STRIPES fallback
+                # nw·4 KB-DMA 236 ns (8x, _TILE_NS_W).  The caller's
+                # cost gate (_plan_windowed) may veto stripes where the
+                # per-stripe call/x-slice overhead loses to the one-call
+                # windowed kernels — extra["sell8d_striped"]=False.
                 stripes, rest8d, pad = sell8d_fmt.pack_sell8d_striped(
                     mat, max_pad_ratio=allow, nw=nw)
                 vm = max(stripes, key=lambda s: s[3].ntiles)[3].value_mode
@@ -559,7 +530,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                                        np.dtype(np.float64)):
                 from .formats.sell8d import (cost_tables, dense_tile_ns,
                                              estimate_sell8d_auto,
-                                             prepare_hybrid)
+                                             prepare_hybrid,
+                                             slot_stream_budget)
                 df = np.dtype(mat.dtype) == np.dtype(np.float64)
                 # Pairs-floor pre-gate: every windowed format pays ≥1
                 # tile per touched (slice, window) pair, and the coarse
@@ -589,28 +561,60 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                             return _sell8w_plan(mat, extra)
                 from .formats.sell8d import (MAX_SPILL_STRIPED,
                                              MAX_STRIPES,
-                                             column_stripe_bounds)
-                # striping keeps x VMEM-resident per column stripe, so
-                # the nw chooser must price with the RESIDENT table
-                # (windowed pricing leans narrow and rejects the wide
-                # bundles that sit on the pairs floor — measured nw=4
-                # pad 42.8 vs nw=8 pad 15.3 on uniform d=32 n=4M)
-                striped = (mat.n > V2_MAX_N
-                           and len(column_stripe_bounds(mat.n))
-                           <= MAX_STRIPES)
-                max_sp = MAX_SPILL_STRIPED if striped else 0.02
-                t8d, _cap, spilled, nw = estimate_sell8d_auto(
-                    mat, nw=None, windowed=False if striped else None,
-                    max_spill=max_sp)
-                if spilled > max_sp * mat.nnz:
-                    t8d = 0                       # 8D alone not viable
+                                             column_stripe_bounds,
+                                             stripe_overhead_ns)
+                # Past the VMEM-x envelope BOTH slot regimes exist:
+                # column stripes keep x resident (~29 ns/tile + per-
+                # stripe call/x-slice overhead) while the windowed
+                # kernels pay an nw·4 KB DMA per tile but run in ONE
+                # call.  Round 4 routed to stripes unconditionally; the
+                # only timed artifact (d=32 pad-floor) had striped at
+                # 0.83x of windowed, so price both — each regime with
+                # its own nw chooser (resident pricing affords wide
+                # bundles, windowed leans narrow) — and include the
+                # per-exec stripe overhead the round-4 advisor flagged
+                # as dead code.
+                striped = False
+                max_sp = 0.02
+                if (mat.n > V2_MAX_N
+                        and len(column_stripe_bounds(mat.n))
+                        <= MAX_STRIPES):
+                    t_res, _cr, sp_res, nw_res = estimate_sell8d_auto(
+                        mat, nw=None, windowed=False,
+                        max_spill=MAX_SPILL_STRIPED)
+                    if sp_res > MAX_SPILL_STRIPED * mat.nnz:
+                        t_res = 0
+                    t_win, _cw, sp_win, nw_win = estimate_sell8d_auto(
+                        mat, nw=None, windowed=True, max_spill=0.02)
+                    if sp_win > 0.02 * mat.nnz:
+                        t_win = 0
+                    ts_res, sns = cost_tables(False, df)
+                    ts_win, _s2 = cost_tables(True, df)
+                    inf = float("inf")
+                    cost_res = (t_res * ts_res[nw_res] + sp_res * sns
+                                + stripe_overhead_ns(mat.n)
+                                ) if t_res else inf
+                    cost_win = (t_win * ts_win[nw_win] + sp_win * sns
+                                ) if t_win else inf
+                    striped = cost_res < cost_win
+                    if striped:
+                        t8d, spilled, nw = t_res, sp_res, nw_res
+                        max_sp = MAX_SPILL_STRIPED
+                    else:
+                        t8d, spilled, nw = t_win, sp_win, nw_win
+                else:
+                    t8d, _cap, spilled, nw = estimate_sell8d_auto(
+                        mat, nw=None, max_spill=max_sp)
+                    if spilled > max_sp * mat.nnz:
+                        t8d = 0                   # 8D alone not viable
                 tried_8d = False
                 if t8d and t8d * sell8w_fmt.WINDOW / mat.nnz <= 4.5:
                     # clearly good slot-mode pack — skip the (multi-second
                     # at 4M nnz) row-mode estimate entirely
                     try:
                         return _sell8d_plan(
-                            mat, {**extra, "sell8d_nw": nw})
+                            mat, {**extra, "sell8d_nw": nw,
+                                  "sell8d_striped": striped})
                     except ValueError:
                         tried_8d = True     # identical retry would fail
                 t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
@@ -671,17 +675,24 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                                     np.float64)
                             # the sub-part pad gate scales to its own nnz
                             # (the whole-plan slot budget was gated above);
-                            # the HBM cap still applies per part
+                            # the HBM cap still applies per part — value-
+                            # mode aware like the main sell8d path (the
+                            # legacy 6.7e8 flat cap blocked palette-valued
+                            # sparse parts at ~3x below the pad their 2 B
+                            # slots afford; round-4 advisor)
                             allow_s = min(
                                 96.0,
                                 max(32.0, 1.5 * prep.ts
                                     * sell8w_fmt.WINDOW
                                     / max(prep.sparse.nnz, 1)),
-                                6.7e8 / max(prep.sparse.nnz, 1))
+                                slot_stream_budget(sparse_part.vals,
+                                                   prep.nw, df)
+                                / max(sparse_part.nnz, 1))
                             psp = _sell8d_plan(
                                 sparse_part,
                                 {**extra, "sell8d_nw": prep.nw,
-                                 "sell8d_allow": allow_s})
+                                 "sell8d_allow": allow_s,
+                                 "sell8d_striped": striped})
                             return {
                                 "hybrid": (pd, psp),
                                 "pad_ratio": prep.tiles
@@ -694,7 +705,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 if t8d and not tried_8d and t8d < 0.7 * t8w:
                     try:
                         return _sell8d_plan(
-                            mat, {**extra, "sell8d_nw": nw})
+                            mat, {**extra, "sell8d_nw": nw,
+                                  "sell8d_striped": striped})
                     except ValueError:
                         pass
             return _sell8w_plan(mat, extra)

@@ -19,6 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats.coo2 import Coo2
 from ..formats.sell8w import LANES, SUB, WINDOW
 from .pallas_sell import build_sell8w_v2w_fn
+from ..utils.profiling import dev_asarray as _asr
 
 __all__ = ["build_coo2_fn"]
 
@@ -90,9 +91,9 @@ def build_coo2_fn(packed: Coo2, interpret: bool = False):
     meta_np[: packed.ntiles] = packed.meta
     vals_np[: packed.ntiles] = packed.vals.astype(vdt)
     win_np[: packed.ntiles] = packed.window_ids
-    window_ids = jnp.asarray(win_np)
-    meta = jnp.asarray(meta_np)
-    vals = jnp.asarray(vals_np)
+    window_ids = _asr(win_np)
+    meta = _asr(meta_np)
+    vals = _asr(vals_np)
     n = packed.n
     n_positions = packed.reduce_plan.n
     reduce_fn = build_sell8w_v2w_fn(packed.reduce_plan, binary=True,

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ..utils.profiling import dev_asarray as _asr
 
 __all__ = ["build_dia_fn", "build_dia_fn_from_parts", "prepare_dia",
            "MAX_DIAGS", "MAX_N"]
@@ -214,13 +215,13 @@ def prepare_dia(dia):
         dlo = np.zeros((len(offsets), m_pad), dtype=np.float32)
         dhi[:, : dia.m] = hi
         dlo[:, : dia.m] = lo
-        return {"data3": jnp.asarray(dhi.reshape(len(offsets), -1, LANES)),
-                "data3_lo": jnp.asarray(dlo.reshape(len(offsets), -1,
+        return {"data3": _asr(dhi.reshape(len(offsets), -1, LANES)),
+                "data3_lo": _asr(dlo.reshape(len(offsets), -1,
                                                     LANES)),
                 "offsets": offsets, "m": dia.m, "n": dia.n}
     data = np.zeros((len(offsets), m_pad), dtype=dia.data.dtype)
     data[:, : dia.m] = dia.data
-    data3 = jnp.asarray(data.reshape(len(offsets), -1, LANES))
+    data3 = _asr(data.reshape(len(offsets), -1, LANES))
     return {"data3": data3, "offsets": offsets, "m": dia.m, "n": dia.n}
 
 

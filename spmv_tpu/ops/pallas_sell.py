@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.sell8w import Sell8W, Sell8WV2, plan_v2, LANES, SUB, WINDOW
+from ..utils.profiling import dev_asarray as _asr
 
 __all__ = ["build_sell8w_fn", "build_sell8w_v2_fn", "build_sell8w_v2w_fn",
            "build_sell8d_fn", "sell8w_spmv", "pack_gpk", "V2_MAX_N"]
@@ -658,8 +659,8 @@ def build_sell8w_v2w_fn(packed, g: int = 16, binary: bool = False,
     15 (the COO2 R reduction) — drops the values stream entirely.
     """
     v2 = packed if isinstance(packed, Sell8WV2) else plan_v2(packed, g=g)
-    tinfo = jnp.asarray(v2.tinfo)
-    ginfo = jnp.asarray(v2.ginfo)
+    tinfo = _asr(v2.tinfo)
+    ginfo = _asr(v2.ginfo)
     if binary:
         if not isinstance(packed, Sell8W):
             raise ValueError("binary mode needs the raw Sell8W packing")
@@ -680,14 +681,14 @@ def build_sell8w_v2w_fn(packed, g: int = 16, binary: bool = False,
                                  - np.concatenate(
                                      [[0], np.cumsum(counts)[:-1]])[groups])
         meta_np[dest] = meta_v1
-        meta = jnp.asarray(meta_np)
+        meta = _asr(meta_np)
         vals = None
         value_mode = "binary"
     else:
-        meta = jnp.asarray(v2.meta)
-        vals = jnp.asarray(v2.vals) if v2.vals is not None else None
+        meta = _asr(v2.meta)
+        vals = _asr(v2.vals)
         value_mode = v2.value_mode
-    pal = (jnp.asarray(np.tile(v2.palette[None, :], (SUB, 1)))
+    pal = (_asr(np.tile(v2.palette[None, :], (SUB, 1)))
            if v2.palette is not None else None)
     m, n, nsteps, nslices = v2.m, v2.n, v2.nsteps, v2.nslices
     G = v2.g
@@ -697,9 +698,8 @@ def build_sell8w_v2w_fn(packed, g: int = 16, binary: bool = False,
         # (closes round-2's "v2w has no double-float path yet")
         is_pal = value_mode == "palette_df"
         vlo16 = value_mode == "df16"
-        vals_lo = (jnp.asarray(v2.vals_lo) if v2.vals_lo is not None
-                   else None)
-        pal_lo = (jnp.asarray(np.tile(v2.palette_lo[None, :], (SUB, 1)))
+        vals_lo = _asr(v2.vals_lo)
+        pal_lo = (_asr(np.tile(v2.palette_lo[None, :], (SUB, 1)))
                   if v2.palette_lo is not None else None)
         dummy = jnp.zeros((SUB, LANES), jnp.float32)
 
@@ -926,10 +926,10 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False,
     v2 = packed if isinstance(packed, Sell8WV2) else plan_v2(packed, g=g)
     if v2.n > V2_MAX_N:
         raise ValueError(f"v2 kernel needs n <= {V2_MAX_N}, got {v2.n}")
-    tinfo = jnp.asarray(v2.tinfo)
-    ginfo = jnp.asarray(v2.ginfo)
-    meta = jnp.asarray(v2.meta)
-    vals = (jnp.asarray(v2.vals) if v2.vals is not None
+    tinfo = _asr(v2.tinfo)
+    ginfo = _asr(v2.ginfo)
+    meta = _asr(v2.meta)
+    vals = (_asr(v2.vals) if v2.vals is not None
             else None)
 
     def _bcast(p):
@@ -942,8 +942,7 @@ def build_sell8w_v2_fn(packed, g: int = 16, interpret: bool = False,
     value_mode, G = v2.value_mode, v2.g
 
     if value_mode in ("df", "df16", "palette_df"):
-        vals_lo = (jnp.asarray(v2.vals_lo) if v2.vals_lo is not None
-                   else None)
+        vals_lo = _asr(v2.vals_lo)
         pal_lo = _bcast(v2.palette_lo)
         is_pal = value_mode == "palette_df"
         vlo16 = value_mode == "df16"
@@ -1026,10 +1025,10 @@ def build_sell8d_fn(packed, interpret: bool = False):
     """
     windowed = packed.n > V2_MAX_N
     chunks = _slot_chunks(np.asarray(packed.ginfo), packed.g)
-    tinfo = jnp.asarray(packed.tinfo)
-    ginfo = jnp.asarray(packed.ginfo)
-    meta = jnp.asarray(packed.meta)
-    vals = jnp.asarray(packed.vals) if packed.vals is not None else None
+    tinfo = _asr(packed.tinfo)
+    ginfo = _asr(packed.ginfo)
+    meta = _asr(packed.meta)
+    vals = _asr(packed.vals)
 
     def tile_pal(p):
         return jnp.asarray(np.tile(
@@ -1055,7 +1054,7 @@ def build_sell8d_fn(packed, interpret: bool = False):
 
     if value_mode in ("df", "df16", "palette_df"):
         # double-float f64 slot mode (aligned hi/lo planes from the pack)
-        vlo = (jnp.asarray(packed.vals_lo)
+        vlo = (_asr(packed.vals_lo)
                if packed.vals_lo is not None else None)
         pallo = tile_pal(packed.palette_lo)
         is_pal = value_mode == "palette_df"
@@ -1118,21 +1117,21 @@ def build_sell8w_fn(packed: Sell8W, interpret: bool = False,
     the values stream — every stored value is treated as 1.0, with slot
     validity encoded in meta bit 15 (COO2's R reduction).
     """
-    window_ids = jnp.asarray(packed.window_ids)
-    gpk = jnp.asarray(pack_gpk(packed.slice_ids))
+    window_ids = _asr(packed.window_ids)
+    gpk = _asr(pack_gpk(packed.slice_ids))
     if binary:
         # validity rides the int16 sign bit (bit 15 set ⇔ value 1.0);
         # int16 can't shift into the sign bit, so build in uint16 and
         # reinterpret
         meta_np = packed.meta.astype(np.int32)
         valid = (packed.vals != 0)
-        meta = jnp.asarray(
+        meta = _asr(
             ((meta_np | (valid.astype(np.int32) << 15)) & 0xFFFF)
             .astype(np.uint16).view(np.int16))
         vals = None
     else:
-        meta = jnp.asarray(packed.meta)
-        vals = jnp.asarray(packed.vals)
+        meta = _asr(packed.meta)
+        vals = _asr(packed.vals)
     ntiles, nslices, m, n = (packed.ntiles, packed.nslices, packed.m,
                              packed.n)
 

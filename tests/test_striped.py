@@ -114,6 +114,45 @@ def test_striped_empty_stripe_skipped():
     assert np.abs(y - g).max() / max(np.abs(g).max(), 1) < 2e-5
 
 
+def test_striped_compacts_untouched_slices():
+    # round-4 advisor (medium): the touched-slice compaction was a no-op
+    # because pack_sell8d padded every slice to >= g tiles, so each
+    # stripe carried g zero tiles per UNTOUCHED slice.  Build a matrix
+    # where the second stripe only touches the bottom row-slice: its pack
+    # must drop the untouched slices entirely (nslices < ceil(m/1024))
+    # and the vis scatter-add in the executor must reassemble exactly.
+    rng = np.random.default_rng(3)
+    m, n = 64_000, 4_100_000          # 63 row slices
+    bounds = column_stripe_bounds(n)
+    # stripe 0: all rows; stripe 1: only rows in the last slice
+    r0 = np.repeat(np.arange(m), 2)
+    c0 = rng.integers(0, bounds[0][1], size=len(r0))
+    last = np.arange(m - 1024, m)
+    r1 = np.repeat(last, 4)
+    c1 = rng.integers(bounds[1][0], bounds[1][1], size=len(r1))
+    rows = np.concatenate([r0, r1])
+    cols = np.concatenate([c0, c1])
+    a = CsrMatrix.from_coo(m, n, rows, cols,
+                           rng.standard_normal(len(rows))
+                           .astype(np.float32))
+    stripes, rest, pad = pack_sell8d_striped(a, max_pad_ratio=400.0, nw=8)
+    nsl_tot = -(-m // 1024)
+    by_lo = {lo: (vis, pk) for lo, hi, vis, pk in stripes}
+    vis1, pk1 = by_lo[bounds[1][0]]
+    assert pk1.nslices < nsl_tot          # compaction engaged
+    # the last 1024 rows straddle at most 2 of the 63 slices (m is not
+    # slice-aligned)
+    assert pk1.nslices == len(vis1) <= 2
+    assert nsl_tot - 1 in vis1
+    # stripe 0 touches every slice and stays dense
+    vis0, pk0 = by_lo[0]
+    assert pk0.nslices == nsl_tot
+    x = rng.standard_normal(n).astype(np.float32)
+    y = _striped_exec(a, x, stripes, rest)
+    g = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    assert np.abs(y - g).max() / max(np.abs(g).max(), 1) < 2e-5
+
+
 def test_striped_rest_has_global_columns():
     a = generate.random_uniform(20_000, 4_100_000, 12,
                                 dtype=np.float32, seed=13)
