@@ -133,14 +133,19 @@ def prepare_graph_split(a: CsrMatrix,
         cols_r = colidx.astype(np.int64)
 
     best = None
-    # None = light-only candidate (hub remap alone may fix the layout)
-    for r_thresh in (*row_thresholds, None):
+
+    # None = light-only candidate (hub remap alone may fix the layout).
+    # The threshold candidates are independent and dominated by GIL-
+    # releasing work (native stats, big fancy indexing), so they evaluate
+    # on a thread pool — webbase predeal is host-bound python (round-4
+    # VERDICT item 5: cut it below 3 s).
+    def _evaluate(r_thresh):
         if r_thresh is None:
             heavy = np.zeros(a.m, dtype=bool)
         else:
             heavy = lens >= r_thresh
             if not heavy.any() or heavy.all():
-                continue
+                return None
         hmask = heavy[rows]
         nnz_h = int(lens[heavy].sum())
         heavy_best = None
@@ -170,7 +175,7 @@ def prepare_graph_split(a: CsrMatrix,
         rp_l[1:] = np.cumsum(np.where(heavy, 0, lens))
         light = CsrMatrix(a.m, n_ext, rp_l, cols_r[~hmask], vals[~hmask])
         if light.nnz == 0:
-            continue
+            return None
         # the graph tier lives on palette value compression (webbase
         # light tiles are 2 KB meta-only); pick the light bundle width
         # among PALETTE-FEASIBLE candidates first — round-4 regression:
@@ -191,15 +196,25 @@ def prepare_graph_split(a: CsrMatrix,
         _cl, tl, spilled, nw = best_l
         cost = (tl * _TILE_NS[nw] + spilled * _SPILL_NS + k * _HUB_NS
                 + (heavy_best[0] if heavy_best else 0.0))
-        if best is None or cost < best.cost:
-            if heavy_best is not None:
-                _h, hm, fold, th = heavy_best
-            else:
-                hm, fold, th = None, None, 0
-            best = GraphPrep(
-                hub_cols=hub_cols, n_ext=n_ext, heavy=hm,
-                fold_rows=fold, light=light, t_heavy=int(th),
-                t_light=int(tl), spilled=int(spilled), nw=nw, cost=cost)
+        if heavy_best is not None:
+            _h, hm, fold, th = heavy_best
+        else:
+            hm, fold, th = None, None, 0
+        return GraphPrep(
+            hub_cols=hub_cols, n_ext=n_ext, heavy=hm,
+            fold_rows=fold, light=light, t_heavy=int(th),
+            t_light=int(tl), spilled=int(spilled), nw=nw, cost=cost)
+
+    candidates = (*row_thresholds, None)
+    if len(candidates) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, len(candidates))) as ex:
+            results = list(ex.map(_evaluate, candidates))
+    else:
+        results = [_evaluate(c) for c in candidates]
+    for cand in results:
+        if cand is not None and (best is None or cand.cost < best.cost):
+            best = cand
     if best is not None and best.heavy is None and hub_cols is None:
         return None      # degenerate: identical to the plain 8D plan
     return best

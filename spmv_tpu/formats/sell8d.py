@@ -1304,6 +1304,17 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         return (0, 0, 0) if nw is not None else (0, 0, 0, 1)
     if windowed is None:
         windowed = a.n > _V2_MAX_N
+    # memoized per matrix object (frozen CsrMatrix, arrays never mutated):
+    # the AUTO ladder + the round-5 striped-vs-windowed gate evaluate the
+    # same (nw, windowed) points repeatedly — each costs ~0.1-1 s at 4M nnz
+    cache = getattr(a, "_e8d_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(a, "_e8d_cache", cache)
+    ckey = (None if nw is None else int(nw), bool(windowed),
+            float(max_spill))
+    if ckey in cache:
+        return cache[ckey]
     df = np.dtype(a.dtype) == np.dtype(np.float64)
     _tns, _sns = cost_tables(windowed, df)
     res = None
@@ -1319,9 +1330,17 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
             max_spill=max_spill)
     if res is not None:
         tiles4, cap4, spill4 = res
+        # one native stats pass prices ALL four widths — populate every
+        # width's cache entry so per-width probe loops (graph prep's
+        # light chooser) cost one call instead of four
+        for wi2, w2 in enumerate((1, 2, 4, 8)):
+            cache[(w2, bool(windowed), float(max_spill))] = (
+                int(tiles4[wi2]), int(cap4[wi2]), int(spill4[wi2]))
         if nw is not None:
             wi = int(nw).bit_length() - 1
-            return int(tiles4[wi]), int(cap4[wi]), int(spill4[wi])
+            r = (int(tiles4[wi]), int(cap4[wi]), int(spill4[wi]))
+            cache[ckey] = r
+            return r
         npal = palette_entry_count(a.vals)
         best_w = None
         for wi, w in enumerate((1, 2, 4, 8)):
@@ -1334,7 +1353,9 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
             if best_w is None or cost < best_w[0]:
                 best_w = (cost, wi, w)
         _, wi, w = best_w
-        return int(tiles4[wi]), int(cap4[wi]), int(spill4[wi]), w
+        r = (int(tiles4[wi]), int(cap4[wi]), int(spill4[wi]), w)
+        cache[ckey] = r
+        return r
     choices = (int(nw),) if nw is not None else (1, 2, 4, 8)
     best = None
     rows = np.repeat(np.arange(a.m, dtype=np.int64),
@@ -1369,5 +1390,7 @@ def estimate_sell8d_auto(a: CsrMatrix, nw: Union[int, None] = 1,
         if best is None or cost < best[0]:
             best = (cost, tiles, cap, spilled, w)
     _, tiles, cap, spilled, w = best
-    return (tiles, cap, spilled) if nw is not None \
+    r = (tiles, cap, spilled) if nw is not None \
         else (tiles, cap, spilled, w)
+    cache[ckey] = r
+    return r

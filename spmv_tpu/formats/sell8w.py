@@ -118,16 +118,27 @@ def df16_encode_lo(vhi: np.ndarray, vlo: np.ndarray) -> np.ndarray:
     inputs (|vhi| subnormal-adjacent or non-finite) drop the lo part —
     :func:`df16_safe` gates the mode off for those matrices.
     """
-    vh64 = np.asarray(vhi, dtype=np.float32).astype(np.float64)
+    vh = np.asarray(vhi, dtype=np.float32)
+    shape = vh.shape
+    vh = vh.reshape(-1)
+    vl = np.asarray(vlo).reshape(-1)
+    out = np.zeros(vh.shape, dtype=np.int16)
+    # tile streams are mostly padding zeros (pad_ratio × fewer real
+    # slots); vhi == 0 implies vlo == 0 under the df16_safe contract
+    # (|v| ≥ 2^-100 keeps f32(v) normal), so encode the nonzero subset
+    # only — measured 3.7 s → <1 s on the powerlaw f64 predeal (round 5)
+    nz = np.nonzero(vh)[0]
+    vh64 = vh[nz].astype(np.float64)
     _, e = np.frexp(vh64)
     step = np.ldexp(1.0, e - 40)       # floor-pow2(|vhi|) · 2^-39
     with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
-        q = np.rint(np.asarray(vlo, dtype=np.float64) / step)
+        q = np.rint(vl[nz].astype(np.float64) / step)
     # the kernel decodes subnormal/zero/non-finite vhi to scale 0 — encode
     # the same slots to 0 so both sides agree (lo loss ≤ 2^-125 absolute)
     bad = ~np.isfinite(vh64) | (np.abs(vh64) < 2.0 ** -100)
     q = np.where(bad | ~np.isfinite(q), 0.0, q)
-    return np.clip(q, -32767, 32767).astype(np.int16)
+    out[nz] = np.clip(q, -32767, 32767).astype(np.int16)
+    return out.reshape(shape)
 
 
 def df16_safe(vals: np.ndarray) -> bool:
@@ -207,12 +218,24 @@ def plan_v2(p: Sell8W, g: int = 16,
     palette = None
     palette_lo = None
     if lo_tiles is not None:
-        # f64 double-float path: hi/lo f32 pairs, same slot layout
-        v64 = (p.vals.astype(np.float64)
-               + lo_tiles.astype(np.float64)).reshape(-1)
-        uniq = np.unique(v64)
-        uniq = uniq[uniq != 0.0]
+        # f64 double-float path: hi/lo f32 pairs, same slot layout.
+        # Distinctness/range checks run on the NONZERO slots only — the
+        # padded stream is pad_ratio × larger than the real payload, and
+        # a 64k sample early-outs the (rare) palette check before a full
+        # unique (round-5 predeal profile: the full-stream f64 temporaries
+        # cost ~2 s per f64 family)
+        hi_flat = p.vals.reshape(-1)
+        nzmask = hi_flat != 0
+        v64nz = (hi_flat[nzmask].astype(np.float64)
+                 + lo_tiles.reshape(-1)[nzmask].astype(np.float64))
+        many = (len(v64nz) > 65536
+                and len(np.unique(v64nz[:65536])) > 64)
+        uniq = (np.empty(65, np.float64) if many
+                else np.unique(v64nz))
+        uniq = uniq[:65] if many else uniq[uniq != 0.0]
         if len(uniq) + 1 <= 64 and force_value_mode in (None, "palette_df"):
+            v64 = np.zeros(hi_flat.shape, np.float64)
+            v64[nzmask] = v64nz
             # exact-f64 palette, split into hi/lo decode rows
             pal_f64 = np.zeros(LANES, dtype=np.float64)
             pal_f64[1: 1 + len(uniq)] = uniq
@@ -231,9 +254,11 @@ def plan_v2(p: Sell8W, g: int = 16,
             if force_value_mode == "palette_df":
                 raise ValueError("palette_df value mode forced but > 64 "
                                  "distinct values")
-            use16 = (df16_safe(v64) if force_value_mode is None
+            # zeros are df16-safe by definition — check the real payload
+            use16 = (df16_safe(v64nz) if force_value_mode is None
                      else force_value_mode == "df16")
-            if use16 and force_value_mode == "df16" and not df16_safe(v64):
+            if use16 and force_value_mode == "df16" \
+                    and not df16_safe(v64nz):
                 raise ValueError("df16 value mode forced but values are "
                                  "outside its normal-range contract")
             value_mode = "df16" if use16 else "df"
@@ -295,9 +320,17 @@ def plan_v2(p: Sell8W, g: int = 16,
 def estimate_sell8w_tiles(a: CsrMatrix) -> int:
     """Cheap lower-bound tile count (no consistency conflicts accounted):
     per (slice, window): max(ceil(max-lane-count/8), ceil(total/1024)).
-    Fully vectorized (runs inside featurize for every AUTO handle)."""
+    Fully vectorized (runs inside featurize for every AUTO handle).
+
+    Memoized on the matrix object: the AUTO ladder (inspector features,
+    plan gates, hybrid/graph preps) calls this up to 9× per handle —
+    0.3 s each at 4M nnz (round-5 predeal profile).  CsrMatrix is frozen
+    and its arrays are never mutated in place, so the cache is sound."""
     if a.nnz == 0:
         return 0
+    cached = getattr(a, "_t8w_cache", None)
+    if cached is not None:
+        return cached
     rows = np.repeat(np.arange(a.m, dtype=np.int64), a.row_lengths)
     sl = rows // LANES
     w = a.colidx.astype(np.int64) // WINDOW
@@ -314,7 +347,9 @@ def estimate_sell8w_tiles(a: CsrMatrix) -> int:
     usw, totals = np.unique(key_sw, return_counts=True)
     # usw and usw_of_lane[first] enumerate the same groups in the same order
     tiles = np.maximum(-(-max_lane // SUB), -(-totals // WINDOW))
-    return int(tiles.sum())
+    result = int(tiles.sum())
+    object.__setattr__(a, "_t8w_cache", result)
+    return result
 
 
 def split_megarows(a: CsrMatrix, max_len: Optional[int] = None):
