@@ -402,7 +402,8 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
                 nw: int = 1, force_value_mode: Optional[str] = None,
                 palette_values: Optional[np.ndarray] = None,
                 use_native: bool = True,
-                keep_empty_slices: bool = True
+                keep_empty_slices: bool = True,
+                cell_w: bool = False
                 ) -> Tuple["Sell8D", Optional[tuple]]:
     """Pack into the slot-mode deep-slice stream.
 
@@ -421,6 +422,14 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     ``nw``: windows per bundle tile (1, 2, 4 or 8 — see module docstring).
     ``g="auto"`` picks the tiles-per-step grouping from the calibrated
     step/tile cost model (:func:`_choose_g`) after the layout is known.
+
+    ``cell_w=True`` (nw > 1 only) stores the window-select in the shared
+    CELL table (i, r) alongside s instead of per slot — entries sharing a
+    cell must then agree on (s, w), ~12.5% more conflicts — which lets
+    the kernel merge the nw take0 gathers BEFORE one final take1:
+    2·nw+1 vector ops per plane instead of 3·nw (the round-5 op-count
+    lever after the wide-gather fusion was ruled out,
+    baselines/probe_wide_gather_r5.out).  Python pack path only.
 
     ``keep_empty_slices=False`` drops untouched slices from the tile
     stream entirely (zero tiles instead of the g minimum) — ONLY for
@@ -455,7 +464,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     df_in = np.dtype(a.dtype) == np.dtype(np.float64)
     tns_tab, spill_ns = cost_tables(n > _V2_MAX_N, df_in)
     if use_native and nslices * nwin <= (1 << 28) \
-            and (keep_empty_slices or g_auto) \
+            and (keep_empty_slices or g_auto) and not cell_w \
             and (depth_cap == "auto"
                  or (isinstance(depth_cap, int) and depth_cap > 0)):
         from ..native import pack_sell8d_native
@@ -569,6 +578,9 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     ks = cin >> 7
     kr = cin & 127
     kw = (kcol >> 10) & (nw - 1)        # window-select within the bundle
+    # cell agreement value: classic layout shares s per (i, r) cell;
+    # cell_w shares (s, w) jointly (see pack_sell8d docstring)
+    kcv = ks if (not cell_w or lb == 0) else (ks | (kw << 3))
     r_in = krow & (SLICE_ROWS - 1)
     ki = r_in >> 7
     l_lane = r_in & 127
@@ -606,7 +618,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     pos = np.arange(nk, dtype=np.int64)
     winner = np.maximum.accumulate(np.where(_first_of_group(cs), pos, 0))
     conflict = np.zeros(nk, dtype=bool)
-    conflict[o] = ks[o] != ks[o[winner]]
+    conflict[o] = kcv[o] != kcv[o[winner]]
 
     slots = _SortedMembership()
     cells = _SortedMembership()
@@ -615,7 +627,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     sk = slot_keys[ok]
     slots.add(sk if np.all(sk[1:] >= sk[:-1]) else np.sort(sk))
     mask_sorted = ok[o]
-    cells.add(cs[mask_sorted], ks[o][mask_sorted])
+    cells.add(cs[mask_sorted], kcv[o][mask_sorted])
 
     sub = np.nonzero(conflict)[0]
     # exactly max_repair wrap rounds — whatever is left goes to the
@@ -637,7 +649,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
         cqs = cq[o2]
         p2 = np.arange(len(sub), dtype=np.int64)
         win2 = np.maximum.accumulate(np.where(_first_of_group(cqs), p2, 0))
-        ss = ks[sub]
+        ss = kcv[sub]
         sc_in = np.zeros(len(sub), dtype=bool)
         sc_in[o2] = ss[o2] != ss[o2[win2]]
         sconf = np.where(found, wsv != ss, sc_in)
@@ -680,7 +692,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
             p2 = np.arange(len(osub), dtype=np.int64)
             win2 = np.maximum.accumulate(
                 np.where(_first_of_group(cqs), p2, 0))
-            ss = ks[osub]
+            ss = kcv[osub]
             sc_in = np.zeros(len(osub), dtype=bool)
             sc_in[o2] = ss[o2] != ss[o2[win2]]
             conf = dup | np.where(found, wsv != ss, sc_in)
@@ -752,11 +764,16 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     cell_flat = (tile * SUB + i_k) * LANES + r_k
     meta = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
     slot_bits = r_k.astype(np.uint16)
-    if lb:
+    if lb and not cell_w:
         slot_bits |= w_k.astype(np.uint16) << np.uint16(10)
     meta[slot_flat] = slot_bits
     s_plane = np.zeros(ntiles * SUB * LANES, dtype=np.uint16)
-    s_plane[cell_flat] = (s_k.astype(np.uint16) << np.uint16(7))
+    cell_bits = s_k.astype(np.uint16) << np.uint16(7)
+    if lb and cell_w:
+        # window-select rides the CELL table (entries sharing (i, r)
+        # agree on (s, w) by construction — duplicate writes idempotent)
+        cell_bits |= w_k.astype(np.uint16) << np.uint16(10)
+    s_plane[cell_flat] = cell_bits
     np.bitwise_or(meta, s_plane, out=meta)
     del s_plane
 
@@ -787,7 +804,8 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
         ntiles=ntiles, nsteps=nsteps, value_mode=value_mode,
         tinfo=tinfo, ginfo=ginfo, meta=meta.view(np.int16),
         vals=vals_arr, palette=palette, nw=nw,
-        vals_lo=vals_lo, palette_lo=palette_lo)
+        vals_lo=vals_lo, palette_lo=palette_lo,
+        cell_w=bool(cell_w and lb))
     rest = None
     if spill.any():
         rest = (rows[spill], cols[spill], np.asarray(a.vals)[spill])
@@ -956,6 +974,8 @@ class Sell8D:
     #: double-float (f64) low parts — aligned with vals/palette
     vals_lo: Optional[np.ndarray] = None
     palette_lo: Optional[np.ndarray] = None
+    #: window-select lives in the shared cell table (see pack_sell8d)
+    cell_w: bool = False
 
     @property
     def pad_ratio(self) -> float:

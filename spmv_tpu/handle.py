@@ -928,8 +928,16 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                         "offsets": parts["offsets"], "n": a.n}
             except ValueError:
                 pass  # fall through to the XLA plan
+        data = d.data
+        if np.dtype(data.dtype) == np.float32:
+            # lossless bf16 diagonals halve the dominant stream (same
+            # rule as the Pallas tier, prepare_dia); _exec_dia upcasts
+            import ml_dtypes
+            dbf = data.astype(ml_dtypes.bfloat16)
+            if np.array_equal(dbf.astype(np.float32), data):
+                data = dbf
         return {
-            "data": dev(d.data),
+            "data": dev(data),
             "offsets": tuple(int(o) for o in d.offsets),
             "n": a.n,
             "fill": d.fill,

@@ -260,7 +260,8 @@ def _tune_cache_path(mtx_token: str) -> str:
 
 
 def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
-         x=None, verbose: bool = False, mtx_token: str = None):
+         x=None, verbose: bool = False, mtx_token: str = None,
+         budget_s: float = None):
     """Measurement-based auto-tuner: build each candidate handle, time it
     honestly, return (best_handle, results).
 
@@ -279,6 +280,12 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
 
     ``results`` is a dict method-name -> seconds/iteration (inf on failure,
     or the cached winner's recorded time on a cache hit).
+
+    ``budget_s`` bounds the SWEEP's own wall cost (round-4 advisor: at
+    6M nnz a full sweep is ~8 serial handle builds of seconds each with
+    no early stop): once the budget is spent, remaining candidates are
+    skipped (recorded as ``inf``) and the best-so-far wins.  The cache
+    record stores the sweep's own cost as ``sweep_seconds``.
     """
     import json
     import os
@@ -322,10 +329,19 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
         x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
     xj = jnp.asarray(x)
 
+    import time as _time
+    sweep_t0 = _time.perf_counter()
     best = None
     results = {}
     for method in methods:
         name = METHOD_NAMES[Method(method)]
+        if (budget_s is not None and best is not None
+                and _time.perf_counter() - sweep_t0 > budget_s):
+            results[name] = float("inf")      # skipped: budget spent
+            if verbose:
+                print(f"tune: {name} skipped (budget {budget_s:.1f}s "
+                      "spent)")
+            continue
         try:
             h = create_handle(a, method=method)
             dt = time_spmv_chain(h._bound, xj, iters=iters, k=4,
@@ -346,5 +362,7 @@ def tune(a: CsrMatrix, methods=None, iters: int = 5, repeats: int = 2,
         with open(_tune_cache_path(mtx_token), "w") as f:
             json.dump({"method": int(best[2]), "seconds": best[0],
                        "m": int(a.m), "nnz": int(a.nnz),
-                       "dtype": str(np.dtype(a.dtype))}, f)
+                       "dtype": str(np.dtype(a.dtype)),
+                       "sweep_seconds":
+                           round(_time.perf_counter() - sweep_t0, 3)}, f)
     return best[1], results

@@ -201,7 +201,7 @@ def _run_df_v1(window_ids, gpk, x, meta, vals_hi, vals_lo, *, ntiles,
 
 def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
                o_ref, *, g: int, value_mode: str, slot_mode: bool = False,
-               nw: int = 1):
+               nw: int = 1, cell_w: bool = False):
     """v2 body: G tiles per grid step, x resident in VMEM.
 
     Measured motivation (baselines/probe_step.out, probe3.out): the v1
@@ -236,12 +236,23 @@ def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
         if slot_mode and nw > 1:
             base = (ti >> 3) * (nw * SUB)
             wsel = (m >> 10) & (nw - 1)
-            xg = jnp.zeros((SUB, LANES), jnp.float32)
-            for j in range(nw):
-                xwin = x_ref[pl.ds(base + j * SUB, SUB), :]
-                t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
-                gj = jnp.take_along_axis(t1, r_idx, axis=1)
-                xg = jnp.where(wsel == j, gj, xg)
+            if cell_w:
+                # cell-shared (s, w): w is valid at CELL positions like
+                # s, so merge the nw take0 results BEFORE one take1 —
+                # 2*nw+1 ops/plane instead of 3*nw (pack_sell8d cell_w)
+                tsel = jnp.zeros((SUB, LANES), jnp.float32)
+                for j in range(nw):
+                    xwin = x_ref[pl.ds(base + j * SUB, SUB), :]
+                    t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
+                    tsel = jnp.where(wsel == j, t1, tsel)
+                xg = jnp.take_along_axis(tsel, r_idx, axis=1)
+            else:
+                xg = jnp.zeros((SUB, LANES), jnp.float32)
+                for j in range(nw):
+                    xwin = x_ref[pl.ds(base + j * SUB, SUB), :]
+                    t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
+                    gj = jnp.take_along_axis(t1, r_idx, axis=1)
+                    xg = jnp.where(wsel == j, gj, xg)
         else:
             xwin = x_ref[pl.ds((ti >> 3) * SUB, SUB), :]
             t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
@@ -266,9 +277,10 @@ def _kernel_v2(tinfo_ref, ginfo_ref, x_ref, meta_ref, vals_ref, pal_ref,
 
 @functools.partial(jax.jit, static_argnames=("g", "value_mode", "nsteps",
                                              "nslices", "n", "interpret",
-                                             "slot_mode", "nw"))
+                                             "slot_mode", "nw", "cell_w"))
 def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
-            nslices, n, interpret=False, slot_mode=False, nw=1):
+            nslices, n, interpret=False, slot_mode=False, nw=1,
+            cell_w=False):
     n_pad = -(-n // (WINDOW * nw)) * (WINDOW * nw)
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
@@ -289,7 +301,7 @@ def _run_v2(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
                                                            jnp.float32),
             pal)
     kern = functools.partial(_kernel_v2, g=g, value_mode=value_mode,
-                             slot_mode=slot_mode, nw=nw)
+                             slot_mode=slot_mode, nw=nw, cell_w=cell_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -415,7 +427,8 @@ def _run_v2w(tinfo, ginfo, x, meta, vals, pal, *, g, value_mode, nsteps,
     return out
 
 
-def _make_kernel_v2w_slot(g: int, nw: int, value_mode: str):
+def _make_kernel_v2w_slot(g: int, nw: int, value_mode: str,
+                          cell_w: bool = False):
     """Slot-mode (SELL-8D) body with PER-TILE window-bundle DMAs.
 
     Extends the scattered tier past VMEM residency (n > V2_MAX_N — VERDICT
@@ -450,12 +463,20 @@ def _make_kernel_v2w_slot(g: int, nw: int, value_mode: str):
             r_idx = m & 127
             if nw > 1:
                 wsel = (m >> 10) & (nw - 1)
-                xg = jnp.zeros((SUB, LANES), jnp.float32)
-                for j in range(nw):
-                    xwin = wins[k][pl.ds(j * SUB, SUB), :]
-                    t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
-                    gj = jnp.take_along_axis(t1, r_idx, axis=1)
-                    xg = jnp.where(wsel == j, gj, xg)
+                if cell_w:
+                    tsel = jnp.zeros((SUB, LANES), jnp.float32)
+                    for j in range(nw):
+                        xwin = wins[k][pl.ds(j * SUB, SUB), :]
+                        t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
+                        tsel = jnp.where(wsel == j, t1, tsel)
+                    xg = jnp.take_along_axis(tsel, r_idx, axis=1)
+                else:
+                    xg = jnp.zeros((SUB, LANES), jnp.float32)
+                    for j in range(nw):
+                        xwin = wins[k][pl.ds(j * SUB, SUB), :]
+                        t1 = jnp.take_along_axis(xwin, s_idx, axis=0)
+                        gj = jnp.take_along_axis(t1, r_idx, axis=1)
+                        xg = jnp.where(wsel == j, gj, xg)
             else:
                 t1 = jnp.take_along_axis(wins[k][:], s_idx, axis=0)
                 xg = jnp.take_along_axis(t1, r_idx, axis=1)
@@ -472,9 +493,9 @@ def _make_kernel_v2w_slot(g: int, nw: int, value_mode: str):
 
 @functools.partial(jax.jit, static_argnames=("g", "nw", "value_mode",
                                              "nsteps", "nslices", "n",
-                                             "interpret"))
+                                             "interpret", "cell_w"))
 def _run_v2w_slot(tinfo, ginfo, x, meta, vals, pal, *, g, nw, value_mode,
-                  nsteps, nslices, n, interpret=False):
+                  nsteps, nslices, n, interpret=False, cell_w=False):
     bundle = WINDOW * nw
     n_pad = -(-n // bundle) * bundle
     if n_pad != n:
@@ -505,7 +526,7 @@ def _run_v2w_slot(tinfo, ginfo, x, meta, vals, pal, *, g, nw, value_mode,
     )
     with jax.enable_x64(False):     # Mosaic rejects x64-promoted indices
         out = pl.pallas_call(
-            _make_kernel_v2w_slot(g, nw, value_mode),
+            _make_kernel_v2w_slot(g, nw, value_mode, cell_w),
             out_shape=jax.ShapeDtypeStruct((nslices, SUB, LANES),
                                            jnp.float32),
             grid_spec=grid_spec,
@@ -515,7 +536,7 @@ def _run_v2w_slot(tinfo, ginfo, x, meta, vals, pal, *, g, nw, value_mode,
 
 
 def _make_kernel_v2w_df(g: int, nw: int, palette: bool, slot_mode: bool,
-                        vlo16: bool = False):
+                        vlo16: bool = False, cell_w: bool = False):
     """Double-float body with windowed DMAs — f64 past VMEM residency.
 
     Covers BOTH row mode (the "v2w has no double-float path yet" gap,
@@ -559,16 +580,32 @@ def _make_kernel_v2w_df(g: int, nw: int, palette: bool, slot_mode: bool,
 
             if slot_mode and nw > 1:
                 wsel = (m >> 10) & (nw - 1)
-                xh = jnp.zeros((SUB, LANES), jnp.float32)
-                xl = jnp.zeros((SUB, LANES), jnp.float32)
-                for j in range(nw):
-                    sel = wsel == j
-                    xh = jnp.where(
-                        sel, _gather(wins_hi[k][pl.ds(j * SUB, SUB), :]),
-                        xh)
-                    xl = jnp.where(
-                        sel, _gather(wins_lo[k][pl.ds(j * SUB, SUB), :]),
-                        xl)
+                if cell_w:
+                    def _take0(win):
+                        return jnp.take_along_axis(win, sidx, axis=0)
+                    tsh = jnp.zeros((SUB, LANES), jnp.float32)
+                    tsl = jnp.zeros((SUB, LANES), jnp.float32)
+                    for j in range(nw):
+                        sel = wsel == j
+                        tsh = jnp.where(sel, _take0(
+                            wins_hi[k][pl.ds(j * SUB, SUB), :]), tsh)
+                        tsl = jnp.where(sel, _take0(
+                            wins_lo[k][pl.ds(j * SUB, SUB), :]), tsl)
+                    xh = jnp.take_along_axis(tsh, ridx, axis=1)
+                    xl = jnp.take_along_axis(tsl, ridx, axis=1)
+                else:
+                    xh = jnp.zeros((SUB, LANES), jnp.float32)
+                    xl = jnp.zeros((SUB, LANES), jnp.float32)
+                    for j in range(nw):
+                        sel = wsel == j
+                        xh = jnp.where(
+                            sel,
+                            _gather(wins_hi[k][pl.ds(j * SUB, SUB), :]),
+                            xh)
+                        xl = jnp.where(
+                            sel,
+                            _gather(wins_lo[k][pl.ds(j * SUB, SUB), :]),
+                            xl)
             else:
                 xh = _gather(wins_hi[k][:])
                 xl = _gather(wins_lo[k][:])
@@ -603,10 +640,10 @@ def _make_kernel_v2w_df(g: int, nw: int, palette: bool, slot_mode: bool,
 @functools.partial(jax.jit, static_argnames=("g", "nw", "palette",
                                              "slot_mode", "nsteps",
                                              "nslices", "n", "interpret",
-                                             "vlo16"))
+                                             "vlo16", "cell_w"))
 def _run_v2w_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g, nw,
                 palette, slot_mode, nsteps, nslices, n, interpret=False,
-                vlo16=False):
+                vlo16=False, cell_w=False):
     bundle = WINDOW * nw
     n_pad = -(-n // bundle) * bundle
     if n_pad != n:
@@ -642,7 +679,8 @@ def _run_v2w_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g, nw,
     )
     with jax.enable_x64(False):
         ohi, olo = pl.pallas_call(
-            _make_kernel_v2w_df(g, nw, palette, slot_mode, vlo16),
+            _make_kernel_v2w_df(g, nw, palette, slot_mode, vlo16,
+                                cell_w),
             out_shape=[jax.ShapeDtypeStruct((ngroups, SUB, LANES),
                                             jnp.float32)] * 2,
             grid_spec=grid_spec,
@@ -777,7 +815,8 @@ def _df_sublane_total(ph, plo):
 def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
                   vhi_ref, vlo_ref, palhi_ref, pallo_ref, ohi_ref, olo_ref,
                   *, g: int, palette: bool, slot_mode: bool = False,
-                  nw: int = 1, vlo16: bool = False):
+                  nw: int = 1, vlo16: bool = False,
+                  cell_w: bool = False):
     """Double-float (f64 ≈ two f32) v2 body — the f64 Pallas tier.
 
     The reference is f64-first (include/spmv.h:49); TPU vector units have no
@@ -806,20 +845,35 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
         if slot_mode and nw > 1:
             base = (ti >> 3) * (nw * SUB)
             wsel = (m >> 10) & (nw - 1)
-            xh = jnp.zeros((SUB, LANES), jnp.float32)
-            xl = jnp.zeros((SUB, LANES), jnp.float32)
-            for j in range(nw):
-                th = jnp.take_along_axis(
-                    jnp.take_along_axis(
+            if cell_w:
+                # merge after take0, one take1 per plane (see _kernel_v2)
+                tsh = jnp.zeros((SUB, LANES), jnp.float32)
+                tsl = jnp.zeros((SUB, LANES), jnp.float32)
+                for j in range(nw):
+                    sel = wsel == j
+                    tsh = jnp.where(sel, jnp.take_along_axis(
                         xhi_ref[pl.ds(base + j * SUB, SUB), :],
-                        sidx, axis=0), ridx, axis=1)
-                tl = jnp.take_along_axis(
-                    jnp.take_along_axis(
+                        sidx, axis=0), tsh)
+                    tsl = jnp.where(sel, jnp.take_along_axis(
                         xlo_ref[pl.ds(base + j * SUB, SUB), :],
-                        sidx, axis=0), ridx, axis=1)
-                sel = wsel == j
-                xh = jnp.where(sel, th, xh)
-                xl = jnp.where(sel, tl, xl)
+                        sidx, axis=0), tsl)
+                xh = jnp.take_along_axis(tsh, ridx, axis=1)
+                xl = jnp.take_along_axis(tsl, ridx, axis=1)
+            else:
+                xh = jnp.zeros((SUB, LANES), jnp.float32)
+                xl = jnp.zeros((SUB, LANES), jnp.float32)
+                for j in range(nw):
+                    th = jnp.take_along_axis(
+                        jnp.take_along_axis(
+                            xhi_ref[pl.ds(base + j * SUB, SUB), :],
+                            sidx, axis=0), ridx, axis=1)
+                    tl = jnp.take_along_axis(
+                        jnp.take_along_axis(
+                            xlo_ref[pl.ds(base + j * SUB, SUB), :],
+                            sidx, axis=0), ridx, axis=1)
+                    sel = wsel == j
+                    xh = jnp.where(sel, th, xh)
+                    xl = jnp.where(sel, tl, xl)
         else:
             base = (ti >> 3) * SUB
             xh = jnp.take_along_axis(
@@ -858,10 +912,11 @@ def _kernel_v2_df(tinfo_ref, ginfo_ref, xhi_ref, xlo_ref, meta_ref,
 @functools.partial(jax.jit, static_argnames=("g", "palette", "nsteps",
                                              "nslices", "n", "interpret",
                                              "slot_mode", "nw", "planes",
-                                             "vlo16"))
+                                             "vlo16", "cell_w"))
 def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
                palette, nsteps, nslices, n, interpret=False,
-               slot_mode=False, nw=1, planes=False, vlo16=False):
+               slot_mode=False, nw=1, planes=False, vlo16=False,
+               cell_w=False):
     n_pad = -(-n // (WINDOW * nw)) * (WINDOW * nw)
     if n_pad != n:
         x = jnp.concatenate([x, jnp.zeros(n_pad - n, x.dtype)])
@@ -884,7 +939,8 @@ def _run_v2_df(tinfo, ginfo, x, meta, vhi, vlo, palhi, pallo, *, g,
             dummy if palette else vhi, dummy if palette else vlo,
             palhi if palette else dummy, pallo if palette else dummy)
     kern = functools.partial(_kernel_v2_df, g=g, palette=palette,
-                             slot_mode=slot_mode, nw=nw, vlo16=vlo16)
+                             slot_mode=slot_mode, nw=nw, vlo16=vlo16,
+                             cell_w=cell_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -1038,6 +1094,7 @@ def build_sell8d_fn(packed, interpret: bool = False):
     pal = tile_pal(packed.palette)
     m, n, nsteps, nslices = packed.m, packed.n, packed.nsteps, packed.nslices
     value_mode, G, nw = packed.value_mode, packed.g, packed.nw
+    cell_w = bool(getattr(packed, "cell_w", False))
 
     def _tile_parts(*arrs):
         """Per-chunk (tinfo, ginfo, tile-array..., nsteps, nslices, b0)."""
@@ -1074,7 +1131,7 @@ def build_sell8d_fn(packed, interpret: bool = False):
                         pallo if is_pal else dummy,
                         g=G, palette=is_pal, nsteps=nst, nslices=nsl,
                         n=n, interpret=interpret, slot_mode=True, nw=nw,
-                        vlo16=vlo16)
+                        vlo16=vlo16, cell_w=cell_w)
                 if out is None:
                     out = o
                 else:
@@ -1093,12 +1150,12 @@ def build_sell8d_fn(packed, interpret: bool = False):
                 o = _run_v2w_slot(ti_c, gi_c, x, meta_c, v_c, pal, g=G,
                                   nw=nw, value_mode=value_mode,
                                   nsteps=nst, nslices=nsl, n=n,
-                                  interpret=interpret)
+                                  interpret=interpret, cell_w=cell_w)
             else:
                 o = _run_v2(ti_c, gi_c, x, meta_c, v_c, pal, g=G,
                             value_mode=value_mode, nsteps=nst,
                             nslices=nsl, n=n, interpret=interpret,
-                            slot_mode=True, nw=nw)
+                            slot_mode=True, nw=nw, cell_w=cell_w)
             if out is None:
                 out = o
             else:

@@ -36,3 +36,23 @@ def test_tune_picks_winner_and_caches(tmp_path, monkeypatch):
     assert h2.method == h.method
     y2 = np.asarray(h2(x))
     np.testing.assert_allclose(y2, spmv_golden(a, x), rtol=1e-4, atol=1e-4)
+
+
+def test_tune_budget_skips_tail(tmp_path, monkeypatch):
+    # round-4 advisor: the sweep had no budget/early-stop knob.  A zero
+    # budget must still produce a winner (best-so-far) and mark the
+    # remaining candidates inf-skipped.
+    from spmv_tpu.inspector import tune
+    from spmv_tpu.io import generate
+
+    a = generate.random_uniform(512, 512, 6, dtype=np.float32, seed=3)
+    x = np.random.default_rng(0).standard_normal(a.n).astype(np.float32)
+    h, results = tune(a, iters=2, repeats=1, x=x, budget_s=0.0)
+    assert h is not None
+    finite = [v for v in results.values() if v != float("inf")]
+    # exactly one candidate measured before the budget gate engaged
+    assert len(finite) == 1
+    skipped = [v for v in results.values() if v == float("inf")]
+    assert skipped, results
+    y = np.asarray(h(x))
+    np.testing.assert_allclose(y, spmv_golden(a, x), rtol=1e-4, atol=1e-4)
