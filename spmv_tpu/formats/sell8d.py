@@ -464,7 +464,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
     df_in = np.dtype(a.dtype) == np.dtype(np.float64)
     tns_tab, spill_ns = cost_tables(n > _V2_MAX_N, df_in)
     if use_native and nslices * nwin <= (1 << 28) \
-            and (keep_empty_slices or g_auto) and not cell_w \
+            and (keep_empty_slices or g_auto) \
             and (depth_cap == "auto"
                  or (isinstance(depth_cap, int) and depth_cap > 0)):
         from ..native import pack_sell8d_native
@@ -474,7 +474,7 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
             tile_ns=tns_tab[nw], spill_ns=spill_ns,
             pair_spill_ns=(_PAIR_SPILL_NS_DF if df_in
                            else _PAIR_SPILL_NS),
-            max_spill=max_spill)
+            max_spill=max_spill, cell_w=bool(cell_w and nw > 1))
         if nat is not None:
             (tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx,
              _cap) = nat
@@ -506,7 +506,8 @@ def pack_sell8d(a: CsrMatrix, g: Union[int, str] = 16,
                 tinfo=tinfo, ginfo=ginfo,
                 meta=meta_u16.view(np.int16).reshape(ntiles, SUB, LANES),
                 vals=vals_arr, palette=palette, nw=nw,
-                vals_lo=vals_lo, palette_lo=palette_lo)
+                vals_lo=vals_lo, palette_lo=palette_lo,
+                cell_w=bool(cell_w and nw > 1))
             rest = None
             if len(spill_idx):
                 sp_rows = (np.searchsorted(

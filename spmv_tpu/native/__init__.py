@@ -123,7 +123,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int32),
             c.c_int, c.c_int, c.c_int, c.c_double, c.c_double,
-            c.c_double, c.c_double,
+            c.c_double, c.c_double, c.c_int,
             c.POINTER(c.c_int64), c.POINTER(c.c_int64),
             c.POINTER(c.c_int64), c.POINTER(c.c_int)]
         lib.sell8d_copy.restype = None
@@ -261,7 +261,7 @@ def coo2_place_native(s_arr, r_arr, v_arr, group_w, group_lo, group_hi):
 
 def pack_sell8d_native(m, n, rowptr, colidx, nw=1, g=16, depth_cap=-1,
                        tile_ns=25.0, spill_ns=15.0, pair_spill_ns=28.0,
-                       max_spill=0.02):
+                       max_spill=0.02, cell_w=False):
     """(tinfo, ginfo, meta_flat, slot_flat, kept_idx, spill_idx, cap) or
     None if the native library is unavailable.
 
@@ -281,6 +281,7 @@ def pack_sell8d_native(m, n, rowptr, colidx, nw=1, g=16, depth_cap=-1,
     cap = ctypes.c_int(0)
     h = lib.sell8d_pack(m, n, rowptr, colidx, nw, g, depth_cap,
                         tile_ns, spill_ns, pair_spill_ns, max_spill,
+                        1 if cell_w else 0,
                         ctypes.byref(nt), ctypes.byref(nk),
                         ctypes.byref(ns), ctypes.byref(cap))
     if not h:

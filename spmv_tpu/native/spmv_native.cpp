@@ -587,6 +587,7 @@ extern "C" void* sell8d_pack(
     int64_t m, int64_t n, const int32_t* rowptr, const int32_t* colidx,
     int nw, int g, int depth_cap /* <=0: auto */, double tile_ns,
     double spill_ns, double pair_spill_ns, double max_spill,
+    int cell_w /* round 5: window-select joins s in the cell table */,
     int64_t* out_ntiles, int64_t* out_nkept, int64_t* out_nspill,
     int* out_cap) {
   if (m <= 0 || n <= 0 || rowptr[m] <= 0) return nullptr;
@@ -782,7 +783,12 @@ extern "C" void* sell8d_pack(
       if (!pair_drop.empty() && pair_drop[pr]) continue;  // pair spill
       const int64_t budget = std::min<int64_t>(dmax[pr], cap);
       const int rres = static_cast<int>(c & 127);
-      const int8_t s_want = static_cast<int8_t>((c >> 7) & 7);
+      // cell agreement value: classic shares s per (i, r) cell; cell_w
+      // shares (s, w) jointly — 6 bits, fits the int8 cell slot
+      int8_t s_want = static_cast<int8_t>((c >> 7) & 7);
+      if (cell_w && lb)
+        s_want = static_cast<int8_t>(s_want |
+                                     (((c >> 10) & (nw - 1)) << 3));
       if (mask_idx[b] < 0) {
         mask_idx[b] = static_cast<int32_t>(masks.size() / mask_words);
         masks.resize(masks.size() + mask_words, 0);
@@ -904,13 +910,15 @@ extern "C" void* sell8d_pack(
         const int64_t slot = base + i_sub * kLanes + l_lane;
         const int64_t cellp = base + i_sub * kLanes + (c & 127);
         uint16_t slot_bits = static_cast<uint16_t>(c & 127);
-        if (lb)
+        if (lb && !cell_w)
           slot_bits |= static_cast<uint16_t>(((c >> 10) & (nw - 1)) << 10);
         buf->meta[slot] = static_cast<int16_t>(
             static_cast<uint16_t>(buf->meta[slot]) | slot_bits);
+        uint16_t cell_bits = static_cast<uint16_t>(((c >> 7) & 7) << 7);
+        if (lb && cell_w)
+          cell_bits |= static_cast<uint16_t>(((c >> 10) & (nw - 1)) << 10);
         buf->meta[cellp] = static_cast<int16_t>(
-            static_cast<uint16_t>(buf->meta[cellp]) |
-            static_cast<uint16_t>(((c >> 7) & 7) << 7));
+            static_cast<uint16_t>(buf->meta[cellp]) | cell_bits);
         kept.push_back(p);
         slots.push_back(slot);
       }

@@ -155,3 +155,34 @@ def test_sell8d_native_not_worse():
     pn, _ = pack_sell8d(a, max_pad_ratio=80.0, nw=4, use_native=True)
     pp, _ = pack_sell8d(a, max_pad_ratio=80.0, nw=4, use_native=False)
     assert pn.ntiles <= pp.ntiles * 1.1
+
+
+def test_sell8d_native_cell_w_reconstruction():
+    """cell_w layout: native and Python packs both reconstruct exactly
+    (placement may differ; reconstruction is the parity standard)."""
+    from spmv_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from spmv_tpu.formats.sell8d import pack_sell8d
+    from spmv_tpu.io import generate
+    from spmv_tpu.oracle import spmv_golden
+    from spmv_tpu.ops.pallas_sell import build_sell8d_fn
+
+    a = generate.random_uniform(6000, 6000, 7, dtype=np.float32, seed=13)
+    x = np.random.default_rng(5).standard_normal(a.n).astype(np.float32)
+    ref = spmv_golden(a, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    tiles = {}
+    for use_native in (True, False):
+        p, rest = pack_sell8d(a, max_pad_ratio=80.0, nw=8, cell_w=True,
+                              use_native=use_native)
+        assert p.cell_w
+        fn = build_sell8d_fn(p, interpret=True)
+        y = np.asarray(fn(x)).astype(np.float64)
+        if rest is not None:
+            np.add.at(y, rest[0], rest[2].astype(np.float64) * x[rest[1]])
+        np.testing.assert_allclose(y / scale, ref / scale, atol=3e-6,
+                                   err_msg=f"native={use_native} cell_w")
+        tiles[use_native] = p.ntiles
+    # the greedy native pack must stay in the same tile-count ballpark
+    assert tiles[True] <= tiles[False] * 1.15
