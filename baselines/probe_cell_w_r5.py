@@ -41,8 +41,7 @@ def case(name, a, nw):
     for label, cw in (("classic", False), ("cell_w", True)):
         t0 = time.perf_counter()
         pk, rest = pack_sell8d(a, g="auto", max_pad_ratio=96.0,
-                               max_spill=0.05, nw=nw, cell_w=cw,
-                               use_native=not cw)
+                               max_spill=0.05, nw=nw, cell_w=cw)
         print(f"{name} {label}: ntiles {pk.ntiles} pad "
               f"{pk.pad_ratio:.2f} vm {pk.value_mode} "
               f"spill {0 if rest is None else len(rest[0])} "

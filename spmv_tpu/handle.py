@@ -500,7 +500,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 return _finish_rest(plan,
                                     [rest8d, extra.get("rest_host")])
             packed, rest8d = sell8d_fmt.pack_sell8d(
-                mat, max_pad_ratio=allow, nw=nw, g="auto")
+                mat, max_pad_ratio=allow, nw=nw, g="auto",
+                max_spill=extra.get("sell8d_max_spill", 0.02))
             plan = {"sell8d": packed, "pad_ratio": packed.pad_ratio,
                     "value_mode": packed.value_mode, "nw": packed.nw}
             return _finish_rest(plan, [rest8d, extra.get("rest_host")])
@@ -579,14 +580,21 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 if (mat.n > V2_MAX_N
                         and len(column_stripe_bounds(mat.n))
                         <= MAX_STRIPES):
+                    # BOTH regimes get the elevated scatter-regime spill
+                    # budget (wide bundles collide at uniform scatter
+                    # regardless of x placement; the spill is priced in
+                    # the cost either way) so the veto compares like with
+                    # like — the chosen budget threads to pack time via
+                    # extra["sell8d_max_spill"]
                     t_res, _cr, sp_res, nw_res = estimate_sell8d_auto(
                         mat, nw=None, windowed=False,
                         max_spill=MAX_SPILL_STRIPED)
                     if sp_res > MAX_SPILL_STRIPED * mat.nnz:
                         t_res = 0
                     t_win, _cw, sp_win, nw_win = estimate_sell8d_auto(
-                        mat, nw=None, windowed=True, max_spill=0.02)
-                    if sp_win > 0.02 * mat.nnz:
+                        mat, nw=None, windowed=True,
+                        max_spill=MAX_SPILL_STRIPED)
+                    if sp_win > MAX_SPILL_STRIPED * mat.nnz:
                         t_win = 0
                     ts_res, sns = cost_tables(False, df)
                     ts_win, _s2 = cost_tables(True, df)
@@ -597,9 +605,9 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     cost_win = (t_win * ts_win[nw_win] + sp_win * sns
                                 ) if t_win else inf
                     striped = cost_res < cost_win
+                    max_sp = MAX_SPILL_STRIPED
                     if striped:
                         t8d, spilled, nw = t_res, sp_res, nw_res
-                        max_sp = MAX_SPILL_STRIPED
                     else:
                         t8d, spilled, nw = t_win, sp_win, nw_win
                 else:
@@ -614,7 +622,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     try:
                         return _sell8d_plan(
                             mat, {**extra, "sell8d_nw": nw,
-                                  "sell8d_striped": striped})
+                                  "sell8d_striped": striped,
+                                  "sell8d_max_spill": max_sp})
                     except ValueError:
                         tried_8d = True     # identical retry would fail
                 t8w = sell8w_fmt.estimate_sell8w_tiles(mat)
@@ -692,7 +701,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                                 sparse_part,
                                 {**extra, "sell8d_nw": prep.nw,
                                  "sell8d_allow": allow_s,
-                                 "sell8d_striped": striped})
+                                 "sell8d_striped": striped,
+                                 "sell8d_max_spill": max_sp})
                             return {
                                 "hybrid": (pd, psp),
                                 "pad_ratio": prep.tiles
@@ -706,7 +716,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                     try:
                         return _sell8d_plan(
                             mat, {**extra, "sell8d_nw": nw,
-                                  "sell8d_striped": striped})
+                                  "sell8d_striped": striped,
+                                  "sell8d_max_spill": max_sp})
                     except ValueError:
                         pass
             return _sell8w_plan(mat, extra)

@@ -180,6 +180,29 @@ def test_handle_routes_striped(monkeypatch):
     assert "striped" in repr(h)
 
 
+def test_striped_gate_vetoes_on_overhead(monkeypatch):
+    # round-4 advisor + VERDICT item 4: the striped-vs-windowed choice is
+    # a COST decision, not unconditional.  With the per-exec stripe
+    # overhead priced prohibitively, AUTO must take the windowed slot
+    # pack for the same matrix it would otherwise stripe.
+    import spmv_tpu.handle as handle_mod
+    from spmv_tpu.formats import sell8d as sell8d_fmt
+    from spmv_tpu.handle import create_handle
+    from spmv_tpu.types import Method
+
+    monkeypatch.setattr(handle_mod, "_is_tpu", lambda: True)
+    a = generate.random_uniform(30_000, 4_100_000, 64,
+                                dtype=np.float32, seed=30)
+    h = create_handle(a, method=Method.SELL_C_SIGMA)
+    assert "sell8d_stripes" in h.plan, list(h.plan)
+
+    monkeypatch.setattr(sell8d_fmt, "stripe_overhead_ns",
+                        lambda n: 1e12)
+    h2 = create_handle(a, method=Method.SELL_C_SIGMA)
+    assert "sell8d_stripes" not in h2.plan, list(h2.plan)
+    assert "sell8d" in h2.plan           # windowed slot pack instead
+
+
 def test_pad_gate_retries_shallow_cap():
     # uniform scatter at d=32: the auto cap chooser's economics pick a
     # deep cap whose pad busts tight budgets; the striped pack must fall
