@@ -120,6 +120,11 @@ def bench_matrix(name: str, a: CsrMatrix,
 
     x = np.random.default_rng(0).standard_normal(a.n).astype(a.dtype)
     golden = spmv_golden(a.astype(np.float64), x.astype(np.float64))
+    if np.dtype(a.dtype) == np.float64:
+        # fresh-process f64 sweep: without x64 on, jnp.asarray silently
+        # downcasts x to f32 and every handle's chained-timing carry then
+        # type-mismatches (create_handle enables x64, but only LATER)
+        jax.config.update("jax_enable_x64", True)
     xj = jnp.asarray(x)
     threads = len(jax.devices())
     rows = []
@@ -139,12 +144,22 @@ def bench_matrix(name: str, a: CsrMatrix,
             continue
         predeal_ms = (time.perf_counter() - t0) * 1e3
         try:
-            y = np.asarray(h._bound(xj))
+            y = np.asarray(h._bound(xj))       # compile + correctness
             rmse = _rmse(y, golden)
+            t1 = time.perf_counter()           # warm second call: real
+            jax.block_until_ready(h._bound(xj))  # per-exec magnitude
+            exec_s = time.perf_counter() - t1
             # chained-k protocol (PERFNOTES.md round-2): avg = inclusive
             # T(k)/k, fastest = marginal (T(k)-T(1))/(k-1) — the device
-            # pays a per-iteration sync bubble even for tiny ops
-            r = time_spmv_chain(h._bound, xj, iters=iters, k=8,
+            # pays a per-iteration sync bubble even for tiny ops.  SLOW
+            # plans (XLA gather floor, ≥ ~20 ms/exec ≫ the ~3 ms bubble)
+            # keep k short: the bubble is already amortized, and an
+            # 8-deep chain of 9M-nnz f64 gathers FAULTS the device
+            # (round-5: banded1m f64 Serial took the whole sweep process
+            # down with UNAVAILABLE)
+            k_eff = 8 if exec_s < 0.02 else 2
+            iters_eff = iters if exec_s < 0.02 else max(2, iters // 5)
+            r = time_spmv_chain(h._bound, xj, iters=iters_eff, k=k_eff,
                                 repeats=repeats)
         except Exception as e:  # noqa: BLE001 — keep sweeping
             print(f"# {name},{h.method_name}: exec/timing failed: "
