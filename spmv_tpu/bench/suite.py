@@ -157,8 +157,11 @@ def bench_matrix(name: str, a: CsrMatrix,
             # 8-deep chain of 9M-nnz f64 gathers FAULTS the device
             # (round-5: banded1m f64 Serial took the whole sweep process
             # down with UNAVAILABLE)
-            k_eff = 8 if exec_s < 0.02 else 2
-            iters_eff = iters if exec_s < 0.02 else max(2, iters // 5)
+            # 0.2 s: only truly glacial plans shorten (the fault repro
+            # was a 1.2 s/exec gather chain; one-call wall also carries
+            # ~10-30 ms of tunnel RTT that must not demote fast plans)
+            k_eff = 8 if exec_s < 0.2 else 2
+            iters_eff = iters if exec_s < 0.2 else max(2, iters // 5)
             r = time_spmv_chain(h._bound, xj, iters=iters_eff, k=k_eff,
                                 repeats=repeats)
         except Exception as e:  # noqa: BLE001 — keep sweeping
