@@ -26,6 +26,7 @@ from spmv_tpu.utils import enable_compile_cache               # noqa: E402
 enable_compile_cache()
 
 import jax                                                    # noqa: E402
+jax.config.update("jax_enable_x64", True)   # keep f64 x honest
 import jax.numpy as jnp                                       # noqa: E402
 
 from spmv_tpu.bench.timing import time_spmv_chain             # noqa: E402
@@ -79,6 +80,12 @@ def main():
                                   dtype=np.float32, seed=42)
     vals = np.random.default_rng(7).standard_normal(a32.nnz)
     a64 = CsrMatrix(a32.m, a32.n, a32.rowptr, a32.colidx, vals)
+    if "--more" in sys.argv:
+        # calibration anchors for the cell_w cost tables
+        case("uniform100k_f64_nw2", a64, 2)
+        case("uniform100k_f32_nw4", a32, 4)
+        case("uniform100k_f32_nw2", a32, 2)
+        return 0
     case("uniform100k_f64_nw4", a64, 4)
     case("uniform100k_f64_nw8", a64, 8)
     case("uniform100k_f32_nw8", a32, 8)

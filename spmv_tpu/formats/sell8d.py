@@ -859,7 +859,7 @@ def pack_sell8d_striped(a: CsrMatrix, max_pad_ratio: float = 10.0,
                         nw: int = 1,
                         max_spill: float = MAX_SPILL_STRIPED,
                         force_value_mode: Optional[str] = None,
-                        use_native: bool = True):
+                        use_native: bool = True, cell_w: bool = False):
     """Column-striped resident slot-mode pack for n > _V2_MAX_N.
 
     Slices the matrix into bundle-aligned column stripes, packs each as
@@ -905,7 +905,7 @@ def pack_sell8d_striped(a: CsrMatrix, max_pad_ratio: float = 10.0,
                 sub, g="auto", max_pad_ratio=float("inf"), max_spill=1.0,
                 depth_cap=depth_cap, nw=nw,
                 force_value_mode=force_value_mode, use_native=use_native,
-                keep_empty_slices=False)
+                keep_empty_slices=False, cell_w=cell_w)
             gi = np.asarray(packed.ginfo)
             sl = gi >> 1
             vis = np.unique(sl)      # ginfo is output-block monotone
@@ -1150,11 +1150,13 @@ def estimate_sell8d_tiles(a: CsrMatrix, depth_cap: Optional[int] = None,
     return int(np.maximum.reduceat(sizes, pstarts).sum())
 
 
-#: per-tile cost model for the nw chooser, CALIBRATED ON-CHIP
-#: (baselines/probe_sell8d_nw.py, uniform100k co-timed): marginal ns/tile
-#: measured 20.1 / 20.3 / 26.9 / 28.5 for nw = 1/2/4/8 — the extra
-#: in-tile gathers are nearly free until nw=4
-_TILE_NS = {1: 20.0, 2: 21.0, 4: 27.0, 8: 29.0}
+#: per-tile cost model for the nw chooser, CALIBRATED ON-CHIP for the
+#: round-5 cell_w layout (baselines/probe_cell_w_r5*.out, uniform100k
+#: co-timed): merging the nw take0 gathers before ONE take1 flattens the
+#: width curve — measured marginal 12.0-13.4 / 11.1-12.8 / 10.1-13.3
+#: ns/tile for nw = 2/4/8 (classic layout: 17.3 / 24.5 / 27.6-30.3).
+#: nw=1 has no window loop and keeps its round-3 calibration.
+_TILE_NS = {1: 20.0, 2: 13.0, 4: 12.0, 8: 12.0}
 #: fixed per-grid-step cost of the slot kernel (scalar-prefetch decode +
 #: output block switch), CALIBRATED ON-CHIP (baselines/probe_webbase_r4e
 #: .out: the same light matrix packed at g=8 (3932 steps / 31456 tiles)
@@ -1189,13 +1191,13 @@ _VALS_NS = 4.0
 _DF_DENSE_MULT = 1.4
 _DF_SLOT_MULT = 2.2
 #: df16 (int16 lo plane, the default f64 mode) slot costs, CALIBRATED
-#: ON-CHIP (baselines/probe_r4_compute.out, uniform100k f64 co-timed on
-#: the same matrix across nw): 26.8-27.3 / 30.7-30.9 / 44.0-44.6 ns/tile
-#: for nw = 2/4/8 — the kernel is COMPUTE-bound (gathers/selects double
-#: per plane, so wider bundles cost MORE than the f32 curve suggests and
-#: nw=4 beats nw=8 despite 23% more pad); nw=1 extrapolated from the nw=2
-#: gather count.  Dense (row-mode) df16 keeps the scaled estimate.
-_TILE_NS_DF16 = {1: 25.0, 2: 27.0, 4: 31.0, 8: 44.0}
+#: ON-CHIP for the cell_w layout (baselines/probe_cell_w_r5*.out,
+#: uniform100k f64 co-timed): 9.7-20.5 / 19.3-19.7 / 26.6-28.3 ns/tile
+#: for nw = 2/4/8 (classic: 20.5-22.8 / 28.6-31.0 / 44.6-46.1 — the
+#: round-4 compute-bound problem, attacked by merging the per-plane
+#: window gathers).  nw=2 take the conservative mid of a noisy pair.
+#: Dense (row-mode) df16 keeps the scaled estimate.
+_TILE_NS_DF16 = {1: 25.0, 2: 18.0, 4: 19.5, 8: 27.5}
 _DF16_DENSE_MULT = 1.25
 #: XLA straggler cost per spilled f64 nnz, measured END-TO-END through
 #: the handle's compact rest path (baselines/probe_webbase_r4b.out:

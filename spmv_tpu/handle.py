@@ -400,7 +400,7 @@ def _build_graph_plan(a: CsrMatrix, prep) -> Dict[str, Any]:
         fold_k = hm.m
     packed, rest8d = sell8d_fmt.pack_sell8d(
         light_mat, max_pad_ratio=_pad_allow(48.0, mem_cap),
-        nw=prep.nw, g="auto")
+        nw=prep.nw, g="auto", cell_w=prep.nw > 1)
     rest_parts.insert(0, rest8d)
     light_plan: Dict[str, Any] = {
         "sell8d": packed, "pad_ratio": packed.pad_ratio,
@@ -493,7 +493,7 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                 # per-stripe call/x-slice overhead loses to the one-call
                 # windowed kernels — extra["sell8d_striped"]=False.
                 stripes, rest8d, pad = sell8d_fmt.pack_sell8d_striped(
-                    mat, max_pad_ratio=allow, nw=nw)
+                    mat, max_pad_ratio=allow, nw=nw, cell_w=nw > 1)
                 vm = max(stripes, key=lambda s: s[3].ntiles)[3].value_mode
                 plan = {"sell8d_stripes": stripes, "pad_ratio": pad,
                         "value_mode": vm, "nw": nw}
@@ -501,7 +501,8 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                                     [rest8d, extra.get("rest_host")])
             packed, rest8d = sell8d_fmt.pack_sell8d(
                 mat, max_pad_ratio=allow, nw=nw, g="auto",
-                max_spill=extra.get("sell8d_max_spill", 0.02))
+                max_spill=extra.get("sell8d_max_spill", 0.02),
+                cell_w=nw > 1)
             plan = {"sell8d": packed, "pad_ratio": packed.pad_ratio,
                     "value_mode": packed.value_mode, "nw": packed.nw}
             return _finish_rest(plan, [rest8d, extra.get("rest_host")])

@@ -979,7 +979,7 @@ def build_dist_sell8d_plan(a: CsrMatrix, mesh: Mesh, axis: str = "rows",
             continue
         p, rest = pack_sell8d(local, max_pad_ratio=max_pad_ratio, nw=nw,
                               force_value_mode=force_mode,
-                              palette_values=pal_shared)
+                              palette_values=pal_shared, cell_w=nw > 1)
         packs.append(p)
         if rest is not None:
             # globalize: rows back to global ids, cols back to global
@@ -1109,7 +1109,7 @@ def _build_sell8d_executable(plan: DistSell8DPlan, interpret: bool):
                              g=g, palette=palette, nsteps=nsteps,
                              nslices=nslices, n=n_local,
                              interpret=interpret, slot_mode=True, nw=nw,
-                             vlo16=value_mode == "df16")
+                             vlo16=value_mode == "df16", cell_w=nw > 1)
             return out.reshape(-1)[None, :mr]
 
         vspec = P() if palette else P(axis)
@@ -1136,7 +1136,7 @@ def _build_sell8d_executable(plan: DistSell8DPlan, interpret: bool):
                       vals if palette else vals[0], pal,
                       g=g, value_mode=value_mode, nsteps=nsteps,
                       nslices=nslices, n=n_local, interpret=interpret,
-                      slot_mode=True, nw=nw)
+                      slot_mode=True, nw=nw, cell_w=nw > 1)
         return out.reshape(-1)[None, :mr]
 
     smap = jax.shard_map(
@@ -1293,7 +1293,7 @@ def build_dist_sell8d_cols_plan(a: CsrMatrix, mesh: Mesh,
         p, rest = pack_sell8d(sub, max_pad_ratio=float("inf"),
                               max_spill=1.0, nw=nw, g=g_use,
                               force_value_mode=force_mode,
-                              palette_values=pal_shared)
+                              palette_values=pal_shared, cell_w=nw > 1)
         g_use = p.g         # pin: the jitted program assumes a single g
         packs.append(p)
         tot_tiles += p.ntiles
@@ -1395,7 +1395,7 @@ def _build_sell8d_cols_executable(plan: DistSell8DColsPlan,
                              g=g, palette=palette, nsteps=nsteps,
                              nslices=nslices, n=cw, interpret=interpret,
                              slot_mode=True, nw=nw,
-                             vlo16=value_mode == "df16")
+                             vlo16=value_mode == "df16", cell_w=nw > 1)
             # per-shard f64 partial, ONE psum over the mesh (f32-plane
             # psum would round the EFT grade away)
             y = out.reshape(-1)[:m]
@@ -1422,7 +1422,7 @@ def _build_sell8d_cols_executable(plan: DistSell8DColsPlan,
                       vals if palette else vals[0], pal,
                       g=g, value_mode=value_mode, nsteps=nsteps,
                       nslices=nslices, n=cw, interpret=interpret,
-                      slot_mode=True, nw=nw)
+                      slot_mode=True, nw=nw, cell_w=nw > 1)
         return jax.lax.psum(out.reshape(-1)[:m], axis)
 
     smap = jax.shard_map(

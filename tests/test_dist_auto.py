@@ -36,7 +36,10 @@ def test_dist_auto_clustered_routes_8w():
     a = generate.clustered(4000, 4000, 10, spread=300, dtype=np.float32,
                            seed=2, exact=False)
     plan = build_dist_auto(a, make_mesh_1d(4), interpret=True)
-    assert plan.kind == "sell8w", plan.kind
+    # round-5 cell_w recalibration flattened the slot tile price
+    # (12-13 ns at any nw vs dense 20), so clustered structure can now
+    # legitimately price onto the slot tier too
+    assert plan.kind in ("sell8w", "sell8d"), plan.kind
     _check(a, plan)
 
 
