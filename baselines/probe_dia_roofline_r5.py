@@ -35,28 +35,32 @@ from spmv_tpu.io import generate                              # noqa: E402
 
 
 def plan_bytes(h, m, n):
-    """True per-exec HBM bytes of a DIA plan (data + x once + y once for
-    Pallas; data + per-diagonal x re-reads + y for the XLA plan)."""
+    """Per-exec HBM bytes of a DIA plan: data + x once + y once.  The
+    XLA shifted-stream plan fuses its per-diagonal adds into one pass
+    over x (all slices static), so x counts once there too — the first
+    probe run priced x per diagonal and reported an impossible 2.4 TB/s,
+    disproving its own byte model."""
     p = h.plan
     if "dia_pallas" in p:
         d3 = p["dia_pallas"]["data3"]
         return d3.nbytes + 4 * n + 4 * m
-    data = p["data"]
-    ndiags = len(p["offsets"])
-    return data.nbytes + 4 * n * ndiags + 4 * m
+    return p["data"].nbytes + 4 * n + 4 * m
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
 
-    # stream ceiling op: saxpy over 32M elements (reads x,y writes z)
+    # stream ceiling op: x*x over 32M elements (reads x writes y,
+    # 2 arrays x 4 B).  NOT affine: a k-chain of renormalized squares
+    # cannot be algebraically folded (the first probe run used saxpy and
+    # XLA folded the whole chain to one op - '2.9e6 GB/s').
     N = 32 * 1024 * 1024
-    xs = jnp.asarray(np.random.default_rng(0)
-                     .standard_normal(N).astype(np.float32))
+    xs = jnp.asarray(np.abs(np.random.default_rng(0)
+                     .standard_normal(N)).astype(np.float32) + 0.5)
 
     @jax.jit
-    def saxpy(x):
-        return 1.0000001 * x + 0.5
+    def sq(x):
+        return x * x
 
     cases = []
     for name, m, bw in (("banded1m", 1_000_000, 4),
@@ -74,15 +78,20 @@ def main():
         cases.append((name, h, x, plan_bytes(h, a.m, a.n), 2 * a.nnz))
 
     for w in range(2):
-        # ceiling first, then the plans — one window, seconds apart
-        r0 = time_spmv_chain(saxpy, xs, iters=10, k=32, repeats=2)
-        ceil_gbs = 3 * 4 * N / r0["marginal"] / 1e9
-        print(f"w{w} saxpy: marg {r0['marginal']*1e3:.3f} ms -> "
+        # ceiling first, then the plans — one window, seconds apart.
+        # Window 1 feeds a PERTURBED x so the runtime's same-args
+        # dispatch dedup cannot return window-0's results (the first
+        # probe run's w1 reported 0.000 ms across the board).
+        r0 = time_spmv_chain(sq, xs + np.float32(w * 1e-3), iters=10,
+                             k=32, repeats=2)
+        ceil_gbs = 2 * 4 * N / r0["marginal"] / 1e9
+        print(f"w{w} sq: marg {r0['marginal']*1e3:.3f} ms -> "
               f"{ceil_gbs:.1f} GB/s ceiling "
               f"(incl {r0['inclusive']*1e3:.3f}, "
               f"bubble {r0['bubble']*1e3:.2f})", flush=True)
         for name, h, x, nbytes, flops in cases:
-            r = time_spmv_chain(h._bound, x, iters=10, k=32, repeats=2)
+            r = time_spmv_chain(h._bound, x + np.float32(w * 1e-3),
+                                iters=10, k=32, repeats=2)
             gbs = nbytes / r["marginal"] / 1e9
             gf = flops / r["marginal"] / 1e9
             print(f"w{w} {name}: marg {r['marginal']*1e3:.3f} ms  "
