@@ -924,9 +924,24 @@ def pack_sell8d_striped(a: CsrMatrix, max_pad_ratio: float = 10.0,
                 tot_spill += len(rest[0])
         return stripes, rest_parts, tot_tiles, tot_kept, tot_spill
 
+    # Pre-estimate the auto-cap pad BEFORE the (expensive, per-stripe)
+    # packs: at 32M nnz the doomed auto-cap pass costs ~50 s of native
+    # pack + value-plane fills only to be retried at cap=1 (round-5
+    # sweep: the scattered4m predeal outlier).  The stats run on the
+    # whole matrix with the resident tables; realized striped pad runs
+    # up to ~2x the estimate on uniform scatter (PERFNOTES), so only a
+    # CLEARLY hopeless estimate (> 1.5x budget) skips straight to the
+    # shallow cap — the existing retry remains the safety net.
+    start_cap = "auto"
+    t_est, _c_est, sp_est = estimate_sell8d_auto(
+        a, nw=int(nw), windowed=False, max_spill=max_spill)
+    if t_est and t_est * WINDOW / max(a.nnz - sp_est, 1) \
+            > 1.5 * max_pad_ratio:
+        start_cap = 1
     stripes, rest_parts, tot_tiles, tot_kept, tot_spill = \
-        _pack_all("auto")
-    if (tot_kept and tot_tiles * WINDOW / tot_kept > max_pad_ratio
+        _pack_all(start_cap)
+    if (start_cap == "auto" and tot_kept
+            and tot_tiles * WINDOW / tot_kept > max_pad_ratio
             and any(s[3].ntiles for s in stripes)):
         # the auto cap chooser decides on tile-vs-spill ECONOMICS alone
         # (a near-tie at 28-vs-29 ns goes deep, measured cap=2 pad 33 vs
