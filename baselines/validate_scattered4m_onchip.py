@@ -68,7 +68,12 @@ def main():
     for w in range(2):
         print(f"--- window {w} ---")
         for label, h in handles.items():
-            r = time_spmv_chain(h._bound, xj, iters=8, k=32, repeats=2)
+            # k=4: the chunked 437k-tile plan is MULTIPLE pallas calls
+            # per exec and the chained protocol unrolls k of them —
+            # k=32 lowered for >30 min (this is exactly where the
+            # round-3 artifact truncated); per-SpMV ≥10 ms ≫ the ~3 ms
+            # bubble, so k=4 already amortizes it (PERFNOTES round-4)
+            r = time_spmv_chain(h._bound, xj, iters=8, k=4, repeats=2)
             gf = 2 * a.nnz / r["inclusive"] / 1e9
             print(f"  {label}: incl {r['inclusive']*1e3:.3f} ms "
                   f"({gf:.2f} GF/s) marg {r['marginal']*1e3:.3f} ms",
