@@ -89,10 +89,24 @@ def main():
         "uniform250k_4m_d64",
         generate.random_uniform(250_000, 4_000_000, 64,
                                 dtype=np.float32, seed=31))
-    s2 = run_config(
-        "powerlaw500k_4m",
-        generate.power_law(500_000, 4_000_000, 16_000_000,
-                           dtype=np.float32, seed=32))
+    # heavy-tailed ROWS over uniformly scattered 4M columns.  The
+    # original generate.power_law config zipf'd the columns too: 16M
+    # requested entries collapsed to 3.2M after duplicate-summing, and
+    # at d≈6 over 4M columns NO windowed format is viable (pairs floor)
+    # — AUTO correctly took the scan and the tier assert fired.  Zipf
+    # row lengths + uniform columns realize the intended structure.
+    rng = np.random.default_rng(32)
+    m2 = 500_000
+    lens = np.minimum(rng.zipf(1.8, m2), 4_096).astype(np.int64)
+    lens = np.maximum((lens * (16_000_000 / lens.sum())).astype(np.int64),
+                      1)
+    rows = np.repeat(np.arange(m2, dtype=np.int64), lens)
+    cols = rng.integers(0, 4_000_000, len(rows))
+    from spmv_tpu.types import CsrMatrix
+    a2 = CsrMatrix.from_coo(m2, 4_000_000, rows, cols,
+                            rng.standard_normal(len(rows))
+                            .astype(np.float32))
+    s2 = run_config("powerlawrows500k_4m", a2)
     print(f"SLOT ONCHIP: uniform {s1:.1f}x, powerlaw {s2:.1f}x vs scan")
 
 

@@ -558,9 +558,25 @@ def _build_plan(a: CsrMatrix, method: Method, nthreads: int,
                         lens_g = mat.row_lengths
                         heavy_frac = (lens_g[lens_g >= 16].sum()
                                       / mat.nnz)
-                        if (pairs_lb * sell8w_fmt.WINDOW / mat.nnz > 96
-                                and heavy_frac < 0.05):
-                            return _sell8w_plan(mat, extra)
+                        if pairs_lb * sell8w_fmt.WINDOW / mat.nnz > 96:
+                            if heavy_frac < 0.05:
+                                return _sell8w_plan(mat, extra)
+                            # heavy-tailed: the hybrid/graph rescue only
+                            # helps when the HEAVY part has window
+                            # locality — if its own pairs floor is also
+                            # hopeless (Zipf rows over uniformly
+                            # scattered megacolumns: a 4k-nnz row spans
+                            # ~4k windows), every ladder rung below
+                            # would burn ~30 s of estimates at 16M nnz
+                            # to reach the same scan (round-5 measured)
+                            hmask = (lens_g >= 16)[rows_g]
+                            ph = int(np.count_nonzero(np.bincount(
+                                key_g[hmask], minlength=ns8d * nb8d)))
+                            nnz_h = int(np.count_nonzero(hmask))
+                            if (nnz_h == 0
+                                    or ph * sell8w_fmt.WINDOW / nnz_h
+                                    > 96):
+                                return _sell8w_plan(mat, extra)
                 from .formats.sell8d import (MAX_SPILL_STRIPED,
                                              MAX_STRIPES,
                                              column_stripe_bounds,

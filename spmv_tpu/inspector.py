@@ -88,6 +88,31 @@ def _pairs_floor_pad(a: CsrMatrix) -> float:
     return pairs_lb * WINDOW / a.nnz
 
 
+def _heavy_floor_hopeless(a: CsrMatrix, thresh: float = 96.0) -> bool:
+    """True when the HEAVY rows' own coarse pairs floor exceeds
+    ``thresh`` — the hybrid/graph rescue ladder cannot help then (Zipf
+    rows over uniformly scattered megacolumns: a 4k-nnz row spans ~4k
+    windows, so even the compacted heavy part pays ≥1 tile per ~1 nnz).
+    One extra bincount; keeps ~30 s of estimates/preps off hopeless
+    structures (round-5 measured, 16M nnz over 4M columns)."""
+    from .formats.sell8w import WINDOW
+    ns8d = max(-(-a.m // 1024), 1)
+    nb8d = max(-(-a.n // (1024 * 8)), 1)
+    if ns8d * nb8d > (1 << 28):
+        return False
+    lens = a.row_lengths.astype(np.int64)
+    rows_g = np.repeat(np.arange(a.m, dtype=np.int64), lens)
+    hmask = (lens >= 16)[rows_g]
+    nnz_h = int(np.count_nonzero(hmask))
+    if nnz_h == 0:
+        return True
+    key_h = ((rows_g[hmask] >> 10) * nb8d
+             + (a.colidx.astype(np.int64)[hmask] >> 13))
+    ph = int(np.count_nonzero(np.bincount(key_h,
+                                          minlength=ns8d * nb8d)))
+    return ph * WINDOW / nnz_h > thresh
+
+
 def featurize(a: CsrMatrix) -> MatrixFeatures:
     from .formats.dia import dia_profile
     lengths = a.row_lengths.astype(np.int64)
